@@ -1,0 +1,140 @@
+"""XOR parity scans over the chunk-major PIR database.
+
+TPU-native equivalent of the reference's two XOR hot loops:
+  - online server scan: PrivateQuery XORs one PRF-selected entry per chunk
+    (/root/reference/pianopir/pir.go:65-88) via AVX `xorSlices`
+    (aes_amd64.s:133-157);
+  - offline hint generation: every chunk is XORed into every primary/backup
+    hint parity at its PRF offset (pir.go:303-352).
+
+Both are the same computation — out[b] = XOR_s db[s, offsets[b, s]] with an
+optional per-(b, s) skip mask — so one kernel family serves both. The scan
+streams chunks from HBM while parities stay resident, turning the gather-heavy
+loop into stream + in-VMEM row gather + XOR accumulate.
+
+Shapes (see pir/layout.py): db (S, C*k, 128); offsets (B, S) u32 in [0, C);
+skip (B, S) bool; out (B, k, 128) u32.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pacmann_tpu.utils.platform import default_interpret
+
+
+# ---------------------------------------------------------------------------
+# XLA path: lax.scan over chunks (works everywhere; XLA lowers the row gather
+# to the TPU's native gather).
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def xor_scan_xla(db, offsets, skip, k: int):
+    """out[b] = XOR_s (skip[b,s] ? 0 : db[s, offsets[b,s]*k : +k, :])."""
+    B, S = offsets.shape
+
+    def body(acc, inp):
+        chunk, off_s, skip_s = inp
+        rows = (off_s[:, None] * k + jnp.arange(k, dtype=jnp.uint32)).reshape(-1)
+        g = jnp.take(chunk, rows.astype(jnp.int32), axis=0).reshape(B, k, 128)
+        g = jnp.where(skip_s[:, None, None], jnp.uint32(0), g)
+        return acc ^ g, None
+
+    acc0 = jnp.zeros((B, k, 128), jnp.uint32)
+    acc, _ = jax.lax.scan(body, acc0, (db, offsets.T, skip.T))
+    return acc
+
+
+def xor_scan_np(db, offsets, skip, k: int):
+    """NumPy twin for tests. Same shapes/semantics as xor_scan_xla."""
+    import numpy as np
+
+    B, S = offsets.shape
+    acc = np.zeros((B, k, 128), np.uint32)
+    for s in range(S):
+        rows = offsets[:, s].astype(np.int64)[:, None] * k + np.arange(k)
+        g = db[s][rows.reshape(-1)].reshape(B, k, 128).copy()
+        g[skip[:, s]] = 0
+        acc ^= g
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: grid (hint-blocks, chunks); the parity block stays in VMEM
+# across the whole chunk stream (output revisiting), chunks are streamed and
+# double-buffered by the Pallas pipeline.
+
+
+def _xor_kernel(off_ref, skip_ref, db_ref, out_ref, *, k: int, block_b: int):
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    chunk = db_ref[0]                        # (C*k, 128)
+    offs = off_ref[:, 0]                     # (block_b,)
+    rows = (offs[:, None] * k + jnp.arange(k, dtype=jnp.uint32)).reshape(-1)
+    g = jnp.take(chunk, rows.astype(jnp.int32), axis=0)   # (block_b*k, 128)
+    keep = jnp.logical_not(skip_ref[:, 0])
+    keep = jnp.repeat(keep, k)[:, None]
+    g = jnp.where(keep, g, jnp.uint32(0))
+    out_ref[:] = out_ref[:] ^ g
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_b", "interpret")
+)
+def _xor_scan_pallas_padded(db, offsets, skip, k, block_b, interpret):
+    B, S = offsets.shape
+    CK = db.shape[1]
+    grid = (B // block_b, S)
+    kernel = functools.partial(_xor_kernel, k=k, block_b=block_b)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * k, 128), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            # offsets column for this (hint block, chunk)
+            pl.BlockSpec((block_b, 1), lambda hb, s: (hb, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda hb, s: (hb, s),
+                         memory_space=pltpu.VMEM),
+            # one chunk, full width
+            pl.BlockSpec((1, CK, 128), lambda hb, s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b * k, 128), lambda hb, s: (hb, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(offsets, skip, db)
+    return out.reshape(B, k, 128)
+
+
+def xor_scan_pallas(db, offsets, skip, k: int, block_b: int = 2048,
+                    interpret=None):
+    """Pallas XOR scan; pads the hint/query axis to a block multiple."""
+    if interpret is None:
+        interpret = default_interpret()
+    B, S = offsets.shape
+    block_b = min(block_b, max(8, B))
+    Bp = (B + block_b - 1) // block_b * block_b
+    if Bp != B:
+        offsets = jnp.pad(offsets, ((0, Bp - B), (0, 0)))
+        skip = jnp.pad(skip, ((0, Bp - B), (0, 0)), constant_values=True)
+    out = _xor_scan_pallas_padded(
+        jnp.asarray(db), jnp.asarray(offsets), jnp.asarray(skip),
+        k, block_b, interpret
+    )
+    return out[:B]
+
+
+def xor_scan(db, offsets, skip, k: int, use_pallas: bool | None = None):
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        return xor_scan_pallas(db, offsets, skip, k)
+    return xor_scan_xla(db, offsets, skip, k)
