@@ -158,6 +158,7 @@ def _encrypt_state(key_masks, S):
     return _shift_rows(_sub_bytes(S)) ^ km[10]
 
 
+@jax.jit
 def aes128_encrypt_words(key_masks, words):
     """Bitsliced AES-128. words: (4, N) u32 LE block words, N % 32 == 0."""
     S = _pack_words([words[i] for i in range(4)])

@@ -103,10 +103,20 @@ class ClientState:
     offsets: np.ndarray            # (T, S) u32 — PRF(tag, chunk) & mask table
 
 
-class PianoClient:
-    """Stateful PianoPIR client (pir.go:91-471)."""
+# Below this many PRF evaluations the vectorized NumPy AES beats paying for a
+# full fixed-size bitsliced device block (aes.PRF_BLOCK lanes) + transfers.
+_HOST_PREP_THRESHOLD = 1 << 15
 
-    def __init__(self, params: PianoParams, use_device_prep: bool = True):
+
+class PianoClient:
+    """Stateful PianoPIR client (pir.go:91-471).
+
+    use_device_prep: True = always run PRF/XOR prep on device, False = always
+    host NumPy, None = auto (device only when the table is big enough to
+    amortize the fixed-size bitsliced AES block).
+    """
+
+    def __init__(self, params: PianoParams, use_device_prep: bool | None = None):
         self.params = params
         self.use_device_prep = use_device_prep
         self.skip_prep = False
@@ -174,10 +184,15 @@ class PianoClient:
         vals = np.asarray(flat)[rows.reshape(-1)].reshape(S, R, server.k * 128)
         st.repl_val = vals[:, :, : p.entry_u32].copy()
 
+    def _on_device(self, work: int) -> bool:
+        if self.use_device_prep is not None:
+            return self.use_device_prep
+        return work >= _HOST_PREP_THRESHOLD
+
     def _compute_offset_table(self, T: int, S: int) -> np.ndarray:
         tags = np.arange(T, dtype=np.uint32)
         chunks = np.arange(S, dtype=np.uint32)
-        if self.use_device_prep:
+        if self._on_device(T * S):
             out = aes.prf_offsets(
                 self.key_masks, tags[:, None], chunks[None, :],
                 self.params.chunk_mask,
@@ -196,7 +211,7 @@ class PianoClient:
 
     def _xor_scan(self, server: PianoServer, offsets, skip) -> np.ndarray:
         k = server.k
-        if self.use_device_prep:
+        if server.device or self._on_device(offsets.size * k * 4):
             out = np.asarray(xor_scan_xla(server.db, offsets, skip, k))
         else:
             out = xor_scan_np(np.asarray(server.db), offsets, skip, k)
@@ -294,8 +309,6 @@ class PianoPIR:
             raise ValueError("raw DB must be uint32 (entry-major)")
         raw = raw.reshape(db_size, self.params.entry_u32)
         self.server = PianoServer(self.params, raw, device=device)
-        if use_device_prep is None:
-            use_device_prep = True
         self.client = PianoClient(self.params, use_device_prep=use_device_prep)
 
     def preprocessing(self, rng=None):

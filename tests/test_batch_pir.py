@@ -84,5 +84,8 @@ def test_batch_auto_reprep_budget():
         for r, idx in enumerate(ids):
             if np.array_equal(out[r], raw[idx]):
                 ok += 1
-    # across refreshes the vast majority of spread queries still succeed
-    assert ok > rounds * batch * 0.8
+    # Uniform-random ids over 16 partitions with a hard FCFS quota of 2 per
+    # partition (batch-pir.go:194-216) answer E[min(Binom(32,1/16),2)]/2 ~ 73%
+    # of queries in expectation; the rest are dropped to zeros by contract.
+    # Assert we stay near that bound across hint refreshes.
+    assert ok > rounds * batch * 0.65
