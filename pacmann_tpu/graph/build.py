@@ -32,6 +32,14 @@ from pacmann_tpu.ops.distance import l2_distance_xla
 ALPHA = 1.2  # build_graph.go:357
 
 
+def _pad_ids(ids: np.ndarray, block: int) -> np.ndarray:
+    """Pad a partial id block to the fixed block length (repeat last id) so
+    every device call shares one compiled shape; callers slice [:len(ids)]."""
+    if len(ids) == block:
+        return ids
+    return np.concatenate([ids, np.full(block - len(ids), ids[-1], ids.dtype)])
+
+
 # ---------------------------------------------------------------------------
 # batched candidate scoring
 
@@ -73,19 +81,20 @@ def _nn_descent_round(vectors_dev, graph: np.ndarray, rng, m: int,
 
     for b0 in range(0, n, block):
         ids = np.arange(b0, min(b0 + block, n))
-        nbrs = graph[ids]                                        # (B, m)
+        idp = _pad_ids(ids, min(block, n))
+        nbrs = graph[idp]                                        # (B, m)
         # sample neighbors-of-neighbors
-        pick = rng.integers(0, m_cur, size=(len(ids), m_cur, n_samples_nbr))
+        pick = rng.integers(0, m_cur, size=(len(idp), m_cur, n_samples_nbr))
         nn = np.take_along_axis(
-            graph[nbrs.reshape(-1)].reshape(len(ids), m_cur, m_cur),
+            graph[nbrs.reshape(-1)].reshape(len(idp), m_cur, m_cur),
             pick, axis=2,
-        ).reshape(len(ids), -1)
-        rnd = rng.integers(0, n, size=(len(ids), n_random))
-        cand = np.concatenate([nbrs, nn, rev[ids], rnd], axis=1)
+        ).reshape(len(idp), -1)
+        rnd = rng.integers(0, n, size=(len(idp), n_random))
+        cand = np.concatenate([nbrs, nn, rev[idp], rnd], axis=1)
         sel, _ = _score_and_select(
-            vectors_dev, jnp.asarray(ids), jnp.asarray(cand), m_cur
+            vectors_dev, jnp.asarray(idp), jnp.asarray(cand), m_cur
         )
-        new_graph[ids] = np.asarray(sel)
+        new_graph[ids] = np.asarray(sel)[: len(ids)]
     return new_graph
 
 
@@ -116,11 +125,11 @@ def _robust_prune_batch(vectors, u_ids, cand_ids, cand_valid, m):
 
     def body(i, carry):
         accepted, n_acc = carry                          # (B, C) bool, (B,)
+        pd_i = jnp.take(pd, i, axis=2)                   # (B, C)
+        du_i = jnp.take(du_sorted, i, axis=1)            # (B,)
         # blocked if any accepted w has alpha*d(w, v_i) < d(u, v_i)
-        blocked = jnp.any(
-            accepted & (ALPHA * pd[:, :, i] < du_sorted[:, i : i + 1]), axis=1
-        )
-        ok = (~blocked) & (n_acc < m) & jnp.isfinite(du_sorted[:, i])
+        blocked = jnp.any(accepted & (ALPHA * pd_i < du_i[:, None]), axis=1)
+        ok = (~blocked) & (n_acc < m) & jnp.isfinite(du_i)
         accepted = accepted.at[:, i].set(ok)
         return accepted, n_acc + ok.astype(jnp.int32)
 
@@ -177,13 +186,14 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     pruned = np.empty((n, m), np.int64)
     for b0 in range(0, n, block):
         ids = np.arange(b0, min(b0 + block, n))
-        cand = wide[ids]
+        idp = _pad_ids(ids, min(block, n))
+        cand = wide[idp]
         valid = cand >= 0
         out, _ = _robust_prune_batch(
-            vectors_dev, jnp.asarray(ids), jnp.asarray(np.maximum(cand, 0)),
+            vectors_dev, jnp.asarray(idp), jnp.asarray(np.maximum(cand, 0)),
             jnp.asarray(valid), m,
         )
-        pruned[ids] = np.asarray(out)
+        pruned[ids] = np.asarray(out)[: len(ids)]
 
     # phase 3: reference degree regularization (build_graph.go:414-484)
     graph = _degree_regularize(vectors_dev, pruned, m, rng, block, verbose)
@@ -196,16 +206,17 @@ def _nn_descent_wide(vectors_dev, graph, rng, cand_size, block):
     out = np.empty((n, cand_size), np.int64)
     for b0 in range(0, n, block):
         ids = np.arange(b0, min(b0 + block, n))
-        nbrs = graph[ids]
-        nn = graph[nbrs.reshape(-1)].reshape(len(ids), -1)
-        rnd = rng.integers(0, n, size=(len(ids), 16))
+        idp = _pad_ids(ids, min(block, n))
+        nbrs = graph[idp]
+        nn = graph[nbrs.reshape(-1)].reshape(len(idp), -1)
+        rnd = rng.integers(0, n, size=(len(idp), 16))
         cand = np.concatenate([nbrs, nn, rnd], axis=1)
         sel, dist = _score_and_select(
-            vectors_dev, jnp.asarray(ids), jnp.asarray(cand), cand_size
+            vectors_dev, jnp.asarray(idp), jnp.asarray(cand), cand_size
         )
         sel = np.asarray(sel).copy()
         sel[~np.isfinite(np.asarray(dist))] = -1  # fewer than cand_size distinct
-        out[ids] = sel
+        out[ids] = sel[: len(ids)]
     return out
 
 
@@ -247,15 +258,17 @@ def _degree_regularize(vectors_dev, graph: np.ndarray, m: int, rng,
     under = np.flatnonzero((conn >= 0).sum(1) <= m)
 
     # over-degree: robust prune down to m (build_graph.go:453-455)
-    for b0 in range(0, len(over), block):
-        ids = over[b0 : b0 + block]
-        cand = conn[ids]
+    blk = min(block, n)
+    for b0 in range(0, len(over), blk):
+        ids = over[b0 : b0 + blk]
+        idp = _pad_ids(ids, blk)
+        cand = conn[idp]
         valid_c = cand >= 0
         res, _ = _robust_prune_batch(
-            vectors_dev, jnp.asarray(ids), jnp.asarray(np.maximum(cand, 0)),
+            vectors_dev, jnp.asarray(idp), jnp.asarray(np.maximum(cand, 0)),
             jnp.asarray(valid_c), m,
         )
-        out[ids] = np.asarray(res)
+        out[ids] = np.asarray(res)[: len(ids)]
 
     out[under, :] = conn[under, :m]
 

@@ -175,14 +175,13 @@ class PianoClient:
         offs = (self._rng.integers(0, 2**32, size=(S, R), dtype=np.uint64)
                 & np.uint64(p.chunk_mask)).astype(np.uint32)
         st.repl_idx = offs + (np.arange(S, dtype=np.uint32) * p.chunk_size)[:, None]
-        # gather values; indices past db_size hit zero padding rows
-        flat = server.db.reshape(S * p.chunk_size * server.k, 128) \
-            if not server.device else np.asarray(server.db).reshape(
-                S * p.chunk_size * server.k, 128)
-        rows = (st.repl_idx.astype(np.int64).reshape(-1)[:, None] * server.k
-                + np.arange(server.k))
-        vals = np.asarray(flat)[rows.reshape(-1)].reshape(S, R, server.k * 128)
-        st.repl_val = vals[:, :, : p.entry_u32].copy()
+        # gather values from the host-resident raw DB; indices past db_size
+        # are zero-padding rows (pir.go:285-295)
+        idx = st.repl_idx.astype(np.int64).reshape(-1)
+        in_range = idx < p.db_size
+        vals = np.zeros((S * R, p.entry_u32), np.uint32)
+        vals[in_range] = server.raw[idx[in_range]]
+        st.repl_val = vals.reshape(S, R, p.entry_u32)
 
     def _on_device(self, work: int) -> bool:
         if self.use_device_prep is not None:
