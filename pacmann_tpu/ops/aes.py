@@ -220,26 +220,23 @@ def prf_offsets(key_masks, tags, xs, chunk_mask: int):
     tags/xs: broadcastable u32 arrays; returns u32 array of the same shape.
     Flattens and evaluates bitsliced AES-MMO in fixed-size lane blocks.
     """
-    tags = jnp.asarray(tags, dtype=jnp.uint32)
-    xs = jnp.asarray(xs, dtype=jnp.uint32)
-    tags, xs = jnp.broadcast_arrays(tags, xs)
+    # All slicing/padding happens host-side in NumPy: the only device work is
+    # the fixed-shape jitted AES block (eager tunnel ops are expensive).
+    tags = np.asarray(tags, dtype=np.uint32)
+    xs = np.asarray(xs, dtype=np.uint32)
+    tags, xs = np.broadcast_arrays(tags, xs)
     shape = tags.shape
     n = int(np.prod(shape)) if shape else 1
-    lo_full = xs.reshape(-1)
-    hi_full = (tags << 3).reshape(-1)
+    lo_full = np.ascontiguousarray(xs.reshape(-1))
+    hi_full = np.ascontiguousarray(tags.reshape(-1)) << np.uint32(3)
     outs = []
     for start in range(0, n, PRF_BLOCK):
         m = min(PRF_BLOCK, n - start)
-        if m == PRF_BLOCK:
-            lo, hi = lo_full[start : start + m], hi_full[start : start + m]
-        else:
-            pad = PRF_BLOCK - m
-            lo = jnp.concatenate(
-                [lo_full[start:], jnp.zeros(pad, jnp.uint32)]
-            )
-            hi = jnp.concatenate(
-                [hi_full[start:], jnp.zeros(pad, jnp.uint32)]
-            )
-        outs.append(_mmo_low32_block(key_masks, lo, hi)[:m])
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-    return (out[:n] & jnp.uint32(chunk_mask)).reshape(shape)
+        lo = lo_full[start : start + m]
+        hi = hi_full[start : start + m]
+        if m < PRF_BLOCK:
+            lo = np.pad(lo, (0, PRF_BLOCK - m))
+            hi = np.pad(hi, (0, PRF_BLOCK - m))
+        outs.append(np.asarray(_mmo_low32_block(key_masks, lo, hi))[:m])
+    out = outs[0] if len(outs) == 1 else np.concatenate(outs)
+    return (out[:n] & np.uint32(chunk_mask)).reshape(shape)

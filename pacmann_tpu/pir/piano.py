@@ -221,30 +221,36 @@ class PianoClient:
     def _backup_tag(self, chunk: int, j: int) -> int:
         return self.params.primary_hint_num + chunk * self.params.max_query_per_chunk + j
 
-    def query(self, idx: int, server: PianoServer, real: bool = True) -> np.ndarray:
-        """One online query (pir.go:354-471). Raises QueryError on protocol
-        failure (budget exhausted / no hit hint), matching the reference's
-        error returns; callers that want the zero-entry contract catch it."""
+    def prepare_dummy(self) -> np.ndarray:
+        """Dummy query: SetSize random offsets (pir.go:363-371)."""
+        p = self.params
+        return (self._rng.integers(0, 2**32, size=p.set_size, dtype=np.uint64)
+                & np.uint64(p.chunk_mask)).astype(np.uint32)
+
+    def prepare_query(self, idx: int, exclude_slots=None, pending_hist=None):
+        """Phase 1 of one online query (pir.go:354-446): hit scan, set
+        expansion, replacement. Returns (ctx, query_set offsets (S,)) or
+        (("cached", value), None). Raises QueryError on protocol failure.
+
+        exclude_slots / pending_hist support batched pipelining (engine.py):
+        when several sub-queries of one partition are prepared before any is
+        finished, slots and replacement groups already reserved by in-flight
+        queries must not be reused — the sequential reference gets this for
+        free (pir.go runs prepare+finish atomically per query)."""
         p = self.params
         st = self.state
-        E = p.entry_u32
-
-        if not real:
-            # dummy query: SetSize random offsets (pir.go:363-371)
-            offs = (self._rng.integers(0, 2**32, size=p.set_size, dtype=np.uint64)
-                    & np.uint64(p.chunk_mask)).astype(np.uint32)
-            server.private_query(offs)
-            return np.zeros(E, np.uint32)
 
         if idx >= p.db_size:
             raise QueryError(f"idx {idx} is out of range")
         if idx in self.cache:
-            return self.cache[idx]
-        if st.finished >= p.max_query_num:
+            return ("cached", self.cache[idx]), None
+        n_pending = sum(pending_hist.values()) if pending_hist else 0
+        if st.finished + n_pending >= p.max_query_num:
             raise QueryError("exceed the maximum number of queries")
 
         chunk_id, offset = divmod(idx, p.chunk_size)
-        if st.histogram[chunk_id] >= p.max_query_per_chunk:
+        in_flight = pending_hist.get(chunk_id, 0) if pending_hist else 0
+        if st.histogram[chunk_id] + in_flight >= p.max_query_per_chunk:
             raise QueryError(f"too many queries in chunk {chunk_id}")
 
         # hit scan (pir.go:404-419): first primary slot whose PRF offset in
@@ -254,6 +260,8 @@ class PianoClient:
             (st.primary_prog == DEFAULT_PROGRAM_POINT)
             | (st.primary_prog // p.chunk_size != chunk_id)
         )
+        if exclude_slots:
+            eligible[list(exclude_slots)] = False
         hits = np.flatnonzero(eligible)
         if hits.size == 0:
             raise QueryError("no hit hint in the primary hint table")
@@ -265,13 +273,22 @@ class PianoClient:
         prog = int(st.primary_prog[hit])
         if prog != DEFAULT_PROGRAM_POINT:
             query_set[prog // p.chunk_size] = prog % p.chunk_size
-        # replacement for the queried chunk (pir.go:436-439)
-        in_group = int(st.histogram[chunk_id])
+        # replacement for the queried chunk (pir.go:436-439); in-flight
+        # queries in the same chunk have reserved earlier groups
+        in_group = int(st.histogram[chunk_id]) + in_flight
         repl_idx = int(st.repl_idx[chunk_id, in_group])
-        repl_val = st.repl_val[chunk_id, in_group]
         query_set[chunk_id] = repl_idx % p.chunk_size
 
-        response = server.private_query(query_set)
+        return ("live", idx, chunk_id, in_group, hit), query_set
+
+    def finish_query(self, ctx, response: np.ndarray) -> np.ndarray:
+        """Phase 2: un-mask the server answer and refresh the spent hint from
+        a backup (pir.go:451-468)."""
+        if ctx[0] == "cached":
+            return ctx[1]
+        _, idx, chunk_id, in_group, hit = ctx
+        st = self.state
+        repl_val = st.repl_val[chunk_id, in_group]
 
         # un-mask (pir.go:451-453)
         response = response ^ repl_val ^ st.primary_parity[hit]
@@ -285,6 +302,19 @@ class PianoClient:
         st.histogram[chunk_id] += 1
         self.cache[idx] = response
         return response
+
+    def query(self, idx: int, server: PianoServer, real: bool = True) -> np.ndarray:
+        """One online query (pir.go:354-471). Raises QueryError on protocol
+        failure (budget exhausted / no hit hint), matching the reference's
+        error returns; callers that want the zero-entry contract catch it."""
+        if not real:
+            server.private_query(self.prepare_dummy())
+            return np.zeros(self.params.entry_u32, np.uint32)
+        ctx, query_set = self.prepare_query(idx)
+        if ctx[0] == "cached":
+            return ctx[1]
+        response = server.private_query(query_set)
+        return self.finish_query(ctx, response)
 
     # -- accounting ---------------------------------------------------------
 
