@@ -62,6 +62,15 @@ def xor_scan_np(db, offsets, skip, k: int):
     return acc
 
 
+def xor_scan_host(db, offsets, skip, k: int):
+    """Host-tier scan: native AVX2 kernel when built, NumPy otherwise."""
+    from pacmann_tpu import native_lib
+
+    if native_lib.available():
+        return native_lib.xor_scan(db, offsets, skip, k)
+    return xor_scan_np(db, offsets, skip, k)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel: grid (hint-blocks, chunks); the parity block stays in VMEM
 # across the whole chunk stream (output revisiting), chunks are streamed and

@@ -30,7 +30,7 @@ import time
 import numpy as np
 
 from pacmann_tpu.ops import aes
-from pacmann_tpu.ops.xor_scan import xor_scan_np, xor_scan_xla
+from pacmann_tpu.ops.xor_scan import xor_scan_host, xor_scan_xla
 from pacmann_tpu.pir import layout
 from pacmann_tpu.pir.params import (
     DEFAULT_VALUE,
@@ -96,7 +96,7 @@ class FusedBatchPianoPIR:
                 self.db, np.ascontiguousarray(offsets),
                 np.ascontiguousarray(skip), self.k))
         else:
-            out = xor_scan_np(self.db, offsets, skip, self.k)
+            out = xor_scan_host(self.db, offsets, skip, self.k)
         return out.reshape(offsets.shape[0], self.k * 128)[
             :, : self.params.entry_u32]
 

@@ -30,7 +30,7 @@ import secrets
 import numpy as np
 
 from pacmann_tpu.ops import aes
-from pacmann_tpu.ops.xor_scan import xor_scan_np, xor_scan_xla
+from pacmann_tpu.ops.xor_scan import xor_scan_host, xor_scan_np, xor_scan_xla
 from pacmann_tpu.pir import layout
 from pacmann_tpu.pir.params import (
     DEFAULT_PROGRAM_POINT,
@@ -81,7 +81,7 @@ class PianoServer:
                 xor_scan_xla(self.db, offsets, skip, self.k)
             )
         else:
-            out = xor_scan_np(self.db, offsets, skip, self.k)
+            out = xor_scan_host(self.db, offsets, skip, self.k)
         return out.reshape(offsets.shape[0], self.k * 128)[:, : self.params.entry_u32]
 
     def private_query(self, offsets: np.ndarray) -> np.ndarray:
@@ -197,6 +197,12 @@ class PianoClient:
                 self.params.chunk_mask,
             )
             return np.asarray(out, dtype=np.uint32)
+        from pacmann_tpu import native_lib
+
+        if native_lib.available():
+            rk = native_lib.expand_key(self.key)
+            return native_lib.prf_offset_table(
+                rk, 0, T, S, self.params.chunk_mask)
         from pacmann_tpu.ops import aes_host
 
         rk = aes_host.expand_key(self.key)
@@ -213,7 +219,7 @@ class PianoClient:
         if server.device or self._on_device(offsets.size * k * 4):
             out = np.asarray(xor_scan_xla(server.db, offsets, skip, k))
         else:
-            out = xor_scan_np(np.asarray(server.db), offsets, skip, k)
+            out = xor_scan_host(np.asarray(server.db), offsets, skip, k)
         return out.reshape(offsets.shape[0], k * 128)[:, : self.params.entry_u32]
 
     # -- online -------------------------------------------------------------
