@@ -40,9 +40,9 @@ def main() -> int:
     rng = np.random.default_rng(0)
     raw = rng.integers(0, 2**32, size=(n, entry_bytes // 4), dtype=np.uint32)
 
-    from pacmann_tpu.pir.batch import SimpleBatchPianoPIR
+    from pacmann_tpu.pir.engine import FusedBatchPianoPIR
 
-    pir = SimpleBatchPianoPIR(n, entry_bytes, batch, raw, 8, device=on_tpu)
+    pir = FusedBatchPianoPIR(n, entry_bytes, batch, raw, 8, device=on_tpu)
 
     # warm-up: compile every kernel shape once
     pir.preprocessing(rng=np.random.default_rng(1))

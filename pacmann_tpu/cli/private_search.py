@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nonprivate", action="store_true", help="bypass PIR")
     p.add_argument("-fail", type=int, default=8, help="FailureProbLog2")
     p.add_argument("-device", action="store_true", help="PIR server DB on TPU")
+    p.add_argument("-engine", default="fused", choices=["fused", "simple"],
+                   help="batch PIR engine (fused = one device scan per batch)")
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-verbose", action="store_true")
     return p
@@ -52,7 +54,8 @@ def main(argv=None) -> int:
         max_step=args.step, parallel=args.parallel,
         benchmarking=args.benchmark, rtt_ms=args.rtt,
         non_private=args.nonprivate, failure_prob_log2=args.fail,
-        device=args.device, seed=args.seed, verbose=args.verbose,
+        device=args.device, engine=args.engine, seed=args.seed,
+        verbose=args.verbose,
     )
     res = run_private_search(cfg)
     print(res.report.render())

@@ -209,6 +209,60 @@ def prf_input_words(tags, xs):
 PRF_BLOCK = 1 << 17
 
 
+def _device_block() -> int:
+    """Bigger blocks on TPU: fewer dispatches; XLA tiles the elementwise
+    planes regardless of block size."""
+    from pacmann_tpu.utils.platform import on_tpu
+
+    return (1 << 20) if on_tpu() else PRF_BLOCK
+
+
+def prf_offset_table_device(key: bytes, T: int, S: int, chunk_mask: int):
+    """Device-resident offset table: offsets[t, s] = PRF(t, s) & mask,
+    tags 0..T-1 (the hint-table tag layout, pir.go:226-251). Returns a
+    jax (T, S) u32 array.
+
+    On TPU this is the bitsliced device circuit (nothing crosses the host
+    boundary); on CPU backends the native AES-NI kernel is faster than the
+    XLA-compiled circuit, so the table is built host-side and placed."""
+    from pacmann_tpu.utils.platform import on_tpu
+
+    if not on_tpu():
+        from pacmann_tpu import native_lib
+
+        if native_lib.available():
+            rk = native_lib.expand_key(key)
+            return jnp.asarray(
+                native_lib.prf_offset_table(rk, 0, T, S, chunk_mask))
+        from pacmann_tpu.ops import aes_host
+
+        rk = aes_host.expand_key(key)
+        out = (aes_host.prf_eval_u64(
+            rk, np.arange(T, dtype=np.uint64)[:, None],
+            np.arange(S, dtype=np.uint64)[None, :])
+            & np.uint64(chunk_mask)).astype(np.uint32)
+        return jnp.asarray(out)
+
+    key_masks = expand_key_planes(key)
+    block = _device_block()
+    n = T * S
+    tags = (np.arange(n, dtype=np.uint32) // np.uint32(S))
+    xs = (np.arange(n, dtype=np.uint32) % np.uint32(S))
+    lo_full = xs
+    hi_full = tags << np.uint32(3)
+    outs = []
+    for start in range(0, n, block):
+        m = min(block, n - start)
+        lo = lo_full[start : start + m]
+        hi = hi_full[start : start + m]
+        if m < block:
+            lo = np.pad(lo, (0, block - m))
+            hi = np.pad(hi, (0, block - m))
+        outs.append(_mmo_low32_block(key_masks, lo, hi)[:m])
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return (out & jnp.uint32(chunk_mask)).reshape(T, S)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _mmo_low32_block(key_masks, lo, hi):
     return _mmo_low32_body(key_masks, lo, hi)

@@ -1,0 +1,378 @@
+"""Device-resident batch-PIR engine: hint state in HBM, one jitted program
+per batch — the flagship TPU form of PianoPIR.
+
+Motivation: FusedBatchPianoPIR (pir/engine.py) still keeps the client's hint
+state on the host, so offline preprocessing must copy every parity row
+device->host (hundreds of MB for SIFT1M — the dominant cost over a tunnel
+and a real PCIe bus alike), and the online finish phase runs in Python.
+
+Here the ENTIRE client+server state lives on device:
+
+  offline (preprocessing, zero large transfers):
+    1. per-partition PRF offset tables via bitsliced AES, kept on device;
+    2. ONE fused XOR scan builds every primary+backup parity (pir.go:303-352)
+       — parities never leave HBM;
+    3. replacement values gathered from the DB on device (pir.go:345-349).
+
+  online (_step, one jitted call per batch):
+    lax.scan over the per-partition quota Q; each scan step serves one
+    sub-query in EVERY partition simultaneously:
+      hit scan over the tag table (pir.go:404-419)  -> vectorized gathers
+      set expansion + programmed point (pir.go:422-433)
+      replacement substitution (pir.go:436-439)
+      server XOR scan (pir.go:65-88)                -> shared chunk stream
+      unmask + hint refresh from backup (pir.go:451-468) -> masked scatters
+    Scanning over Q reproduces the sequential reference's per-query
+    atomicity (later sub-queries see earlier refreshes) with no host logic.
+
+Protocol parity: identical parameter derivation, hint layout, replacement
+and budget semantics per partition. Declared deviation: there is no response
+cache on device — a repeated index is served by a fresh (still correct)
+query and consumes budget; the host-side cache in front of the engine
+restores the reference's cache behavior for exact repeats.
+
+Only the decoded entries (Q*P rows) ever cross the host boundary per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pacmann_tpu.ops import aes
+from pacmann_tpu.pir import layout
+from pacmann_tpu.pir.params import (
+    DEFAULT_PROGRAM_POINT,
+    QUERY_PER_PARTITION,
+    derive_batch_params,
+    derive_piano_params,
+)
+
+
+# ---------------------------------------------------------------------------
+# jitted pieces (module-level so one compilation serves every instance)
+
+
+@functools.partial(jax.jit, static_argnames=("P", "T", "Hp", "R", "S"))
+def _build_skip(P: int, T: int, Hp: int, R: int, S: int):
+    """(P*T, S) bool: backup-hint group g skips chunk g (pir.go:330-339)."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (P * T, S), 0) % T
+    s = jax.lax.broadcasted_iota(jnp.int32, (P * T, S), 1)
+    grp = (t - Hp) // R
+    return (t >= Hp) & (s == grp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "R", "Hp", "S", "k", "max_q", "dpp"),
+    donate_argnames=("state",),
+)
+def _online_step(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
+    """One batch: idx_q (Q, P) i32 local indices (-1 = dummy), rand_offs
+    (Q, P, S) u32 dummy offsets. Returns (state', entries (Q, P, k*128),
+    ok (Q, P))."""
+    from pacmann_tpu.ops.xor_scan import xor_scan_xla
+
+    P = idx_q.shape[1]
+    Ep = k * 128
+    part_base = (jnp.arange(P, dtype=jnp.uint32) * np.uint32(C))
+
+    def step(carry, inp):
+        tag, prog, ppar, bpar, hist, finished = carry
+        idx, rnd = inp                                   # (P,), (P, S)
+        real = idx >= 0
+        idx_u = jnp.where(real, idx, 0).astype(jnp.uint32)
+        chunk = (idx_u // C).astype(jnp.int32)           # (P,)
+        off = idx_u % C                                  # (P,) u32
+
+        # hit scan: PRF column for each partition's query chunk
+        col = jnp.take_along_axis(
+            state["table"], chunk[:, None, None], axis=2)[:, :, 0]  # (P, T)
+        col_tag = jnp.take_along_axis(col, tag, axis=1)   # (P, Hp)
+        prog_set = prog != dpp
+        prog_chunk = (prog // C).astype(jnp.int32)
+        elig = (col_tag == off[:, None]) & (
+            ~prog_set | (prog_chunk != chunk[:, None]))
+        elig &= real[:, None]
+        hit = jnp.argmax(elig, axis=1)                    # first True (P,)
+        found = jnp.any(elig, axis=1)
+
+        # budget (pir.go:386-400)
+        ig = jnp.take_along_axis(hist, chunk[:, None], axis=1)[:, 0]  # (P,)
+        ok = real & found & (ig < R) & (finished < max_q)
+
+        # set expansion (pir.go:422-427)
+        hit_tag = jnp.take_along_axis(tag, hit[:, None], axis=1)[:, 0]
+        qs = jnp.take_along_axis(
+            state["table"], hit_tag[:, None, None].astype(jnp.int32),
+            axis=1)[:, 0, :]                              # (P, S) u32
+        # programmed point (pir.go:430-433)
+        hp = jnp.take_along_axis(prog, hit[:, None], axis=1)[:, 0]
+        hp_set = hp != dpp
+        s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+        qs = jnp.where(
+            (s_iota == (hp // C).astype(jnp.int32)[:, None]) & hp_set[:, None],
+            (hp % C)[:, None], qs)
+        # replacement (pir.go:436-439)
+        r_idx = state["repl_idx"][jnp.arange(P), chunk, ig.astype(jnp.int32)]
+        qs = jnp.where(s_iota == chunk[:, None], (r_idx % C)[:, None], qs)
+
+        # dummies keep the fixed access pattern (pir.go:363-371)
+        qs = jnp.where(ok[:, None], qs, rnd)
+
+        # server scan over the stacked DB
+        qs_glob = qs + part_base[:, None]
+        resp = xor_scan_xla(db, qs_glob,
+                            jnp.zeros_like(qs_glob, bool), k)
+        resp = resp.reshape(P, Ep)
+
+        # unmask (pir.go:451-453)
+        r_val = state["repl_val"][jnp.arange(P), chunk, ig.astype(jnp.int32)]
+        par = jnp.take_along_axis(
+            ppar, hit[:, None, None], axis=1)[:, 0, :]
+        entry = resp ^ r_val ^ par
+        entry = jnp.where(ok[:, None], entry, 0)
+
+        # refresh from backup (pir.go:460-468)
+        btag = Hp + chunk * R + ig.astype(jnp.int32)
+        bp = jnp.take_along_axis(bpar, btag[:, None, None] - Hp, axis=1)[:, 0, :]
+        new_par = bp ^ entry
+        rows = jnp.arange(P)
+        old_par = jnp.take_along_axis(ppar, hit[:, None, None], axis=1)[:, 0, :]
+        ppar = ppar.at[rows, hit].set(
+            jnp.where(ok[:, None], new_par, old_par))
+        tag = tag.at[rows, hit].set(
+            jnp.where(ok, btag, jnp.take_along_axis(
+                tag, hit[:, None], axis=1)[:, 0]))
+        prog = prog.at[rows, hit].set(
+            jnp.where(ok, idx_u, jnp.take_along_axis(
+                prog, hit[:, None], axis=1)[:, 0]))
+        hist = hist.at[rows, chunk].add(ok.astype(hist.dtype))
+        finished = finished + ok.astype(finished.dtype)
+
+        return (tag, prog, ppar, bpar, hist, finished), (entry, ok)
+
+    carry = (state["tag"], state["prog"], state["primary_parity"],
+             state["backup_parity"], state["hist"], state["finished"])
+    carry, (entries, oks) = jax.lax.scan(step, carry, (idx_q, rand_offs))
+    tag, prog, ppar, bpar, hist, finished = carry
+    new_state = dict(state, tag=tag, prog=prog, primary_parity=ppar,
+                     backup_parity=bpar, hist=hist, finished=finished)
+    return new_state, entries, oks
+
+
+class DevicePianoEngine:
+    """Batch PIR with device-resident hint state (drop-in query/prep API)."""
+
+    def __init__(self, db_size: int, entry_bytes: int, batch_size: int,
+                 raw: np.ndarray, failure_prob_log2: int,
+                 verbose: bool = False):
+        entry_u32 = entry_bytes // 4
+        raw = raw.reshape(db_size, entry_u32)
+        self.config = derive_batch_params(
+            db_size, entry_bytes, batch_size, failure_prob_log2)
+        c = self.config
+        self.verbose = verbose
+        P, psize = c.partition_num, c.partition_size
+        self.params = derive_piano_params(psize, entry_bytes, failure_prob_log2)
+        p = self.params
+        self.k = layout.entry_rows(entry_u32)
+        self.Ep = self.k * 128
+
+        padded = np.zeros((P * psize, entry_u32), np.uint32)
+        padded[:db_size] = raw
+        blocks = [
+            layout.pack_db(padded[i * psize:(i + 1) * psize],
+                           p.chunk_size, p.set_size)
+            for i in range(P)
+        ]
+        self.db = jax.device_put(np.concatenate(blocks, axis=1))
+        self.state = None
+        self.cache: dict[int, np.ndarray] = {}
+        self._rng = np.random.default_rng()
+
+        # stats (batch-pir.go:44-53)
+        self.finished_batch_num = 0
+        self.queries_made_in_partition = 0
+        self.support_batch_num = 0
+        self.preprocessing_time = 0.0
+        self.comm_cost_per_batch_offline = 0
+
+    # -- offline -------------------------------------------------------------
+
+    def _record_stats(self, prep_time: float):
+        self.preprocessing_time = prep_time
+        self.support_batch_num = self.params.max_query_num // QUERY_PER_PARTITION
+        db_bytes = float(self.config.db_size) * self.config.entry_bytes
+        self.comm_cost_per_batch_offline = int(db_bytes / self.support_batch_num)
+
+    def preprocessing(self, rng: np.random.Generator | None = None):
+        from pacmann_tpu.ops.xor_scan import xor_scan_xla
+
+        t0 = time.perf_counter()
+        self.finished_batch_num = 0
+        self.queries_made_in_partition = 0
+        self.cache = {}
+        if rng is not None:
+            self._rng = rng
+        p = self.params
+        c = self.config
+        P = c.partition_num
+        S, R, Hp, C = (p.set_size, p.max_query_per_chunk,
+                       p.primary_hint_num, p.chunk_size)
+        T = Hp + S * R
+
+        # 1) PRF offset tables, device-resident (pir.go:318,336)
+        tables = []
+        for _ in range(P):
+            tables.append(aes.prf_offset_table_device(
+                self._rng.bytes(16), T, S, p.chunk_mask))
+        table = jnp.stack(tables)                       # (P, T, S)
+
+        # 2) fused parity generation (pir.go:303-343)
+        part_base = (jnp.arange(P, dtype=jnp.uint32) * np.uint32(C))
+        glob_off = (table + part_base[:, None, None]).reshape(P * T, S)
+        skip = _build_skip(P, T, Hp, R, S)
+        parities = xor_scan_xla(self.db, glob_off, skip, self.k)
+        parities = parities.reshape(P, T, self.Ep)
+
+        # 3) replacements, gathered on device (pir.go:345-349)
+        repl_off = (self._rng.integers(
+            0, 2**32, size=(P, S, R), dtype=np.uint64)
+            & np.uint64(p.chunk_mask)).astype(np.uint32)
+        repl_idx = repl_off + (
+            np.arange(S, dtype=np.uint32) * C)[None, :, None]
+        s_ix = np.broadcast_to(
+            np.arange(S, dtype=np.int32)[None, :, None], (P, S, R))
+        row_base = ((repl_off.astype(np.int32)
+                     + np.arange(P, dtype=np.int32)[:, None, None] * C)
+                    * self.k)
+        flat_s = jnp.asarray(s_ix.reshape(-1))
+        flat_row = jnp.asarray(row_base.reshape(-1))
+
+        @jax.jit
+        def gather_repl(db, flat_s, flat_row):
+            rows = (flat_row[:, None]
+                    + jnp.arange(self.k, dtype=jnp.int32)).reshape(-1)
+            svals = jnp.repeat(flat_s, self.k)
+            return db[svals, rows].reshape(-1, self.Ep)
+
+        repl_val = gather_repl(self.db, flat_s, flat_row).reshape(
+            P, S, R, self.Ep)
+
+        self.state = dict(
+            table=table,
+            tag=jnp.broadcast_to(
+                jnp.arange(Hp, dtype=jnp.int32)[None, :], (P, Hp)).copy(),
+            prog=jnp.full((P, Hp), DEFAULT_PROGRAM_POINT, jnp.uint32),
+            primary_parity=parities[:, :Hp, :],
+            backup_parity=parities[:, Hp:, :],
+            hist=jnp.zeros((P, S), jnp.int32),
+            finished=jnp.zeros((P,), jnp.int32),
+            repl_idx=jnp.asarray(repl_idx),
+            repl_val=repl_val,
+        )
+        jax.block_until_ready(self.state["repl_val"])
+        self._record_stats(time.perf_counter() - t0)
+
+    def dummy_preprocessing(self, rng=None):
+        """Benchmark mode: zeroed hint state, fixed access pattern online."""
+        if rng is not None:
+            self._rng = rng
+        p = self.params
+        P = self.config.partition_num
+        S, R, Hp = p.set_size, p.max_query_per_chunk, p.primary_hint_num
+        T = Hp + S * R
+        self.state = dict(
+            table=jnp.zeros((P, T, S), jnp.uint32),
+            tag=jnp.broadcast_to(
+                jnp.arange(Hp, dtype=jnp.int32)[None, :], (P, Hp)).copy(),
+            prog=jnp.full((P, Hp), DEFAULT_PROGRAM_POINT, jnp.uint32),
+            primary_parity=jnp.zeros((P, Hp, self.Ep), jnp.uint32),
+            backup_parity=jnp.zeros((P, S * R, self.Ep), jnp.uint32),
+            hist=jnp.zeros((P, S), jnp.int32),
+            finished=jnp.zeros((P,), jnp.int32),
+            repl_idx=jnp.zeros((P, S, R), jnp.uint32),
+            repl_val=jnp.zeros((P, S, R, self.Ep), jnp.uint32),
+        )
+        self.cache = {}
+        self._record_stats(0.0)
+
+    # -- online --------------------------------------------------------------
+
+    def query(self, ids) -> np.ndarray:
+        """Reference batch contract (batch-pir.go:170-248): FCFS quota of
+        len(ids)/P per partition, dummy padding, overflow -> zeros; one
+        jitted device step serves the whole batch."""
+        c = self.config
+        p = self.params
+        ids = [int(i) for i in ids]
+        P = c.partition_num
+        quota = len(ids) // P
+
+        partition_queries: list[list[int]] = [[] for _ in range(P)]
+        for idx in ids:
+            partition_queries[idx // c.partition_size].append(idx)
+
+        # build (Q, P) local index array; -1 = dummy; cache hits become
+        # dummies whose value is served from the host cache (pir.go:381-383)
+        idx_q = np.full((max(quota, 0), P), -1, np.int32)
+        gidx_q = np.full((max(quota, 0), P), -1, np.int64)
+        for i in range(P):
+            pq = partition_queries[i][:quota]
+            for j, gidx in enumerate(pq):
+                if gidx in self.cache:
+                    continue  # dummy row; served from cache below
+                idx_q[j, i] = gidx - i * c.partition_size
+                gidx_q[j, i] = gidx
+
+        responses: dict[int, np.ndarray] = {}
+        E = c.entry_bytes // 4
+        if quota > 0:
+            rand_offs = (self._rng.integers(
+                0, 2**32, size=(quota, P, p.set_size), dtype=np.uint64)
+                & np.uint64(p.chunk_mask)).astype(np.uint32)
+            self.state, entries, oks = _online_step(
+                self.db, self.state, idx_q, rand_offs,
+                C=p.chunk_size, R=p.max_query_per_chunk,
+                Hp=p.primary_hint_num, S=p.set_size, k=self.k,
+                max_q=p.max_query_num, dpp=DEFAULT_PROGRAM_POINT)
+            entries = np.asarray(entries)[:, :, :E]       # (Q, P, E)
+            oks = np.asarray(oks)
+            for j in range(quota):
+                for i in range(P):
+                    g = gidx_q[j, i]
+                    if g >= 0 and oks[j, i]:
+                        responses[int(g)] = entries[j, i]
+                        self.cache[int(g)] = entries[j, i]
+
+        out = np.zeros((len(ids), E), np.uint32)
+        for r, idx in enumerate(ids):
+            if idx in responses:
+                out[r] = responses[idx]
+            elif idx in self.cache:
+                out[r] = self.cache[idx]
+
+        # budget bookkeeping + auto re-prep (batch-pir.go:239-245)
+        if self.queries_made_in_partition >= p.max_query_num - 2:
+            if self.verbose:
+                print(f"Redo preprocessing after {self.finished_batch_num} batches")
+            self.preprocessing()
+        else:
+            self.finished_batch_num += len(ids) // c.batch_size
+            self.queries_made_in_partition += quota
+
+        return out
+
+    # -- accounting (batch-pir.go:250-276) -----------------------------------
+
+    def local_storage_size(self) -> float:
+        return self.params.local_storage_bytes() * self.config.partition_num
+
+    def comm_cost_per_batch_online(self) -> int:
+        return int(self.params.comm_cost_per_query_bytes()
+                   * QUERY_PER_PARTITION * self.config.partition_num)

@@ -61,6 +61,7 @@ class PrivateSearchConfig:
     non_private: bool = False
     failure_prob_log2: int = FAILURE_PROB_LOG2
     device: bool = False        # PIR server DB on TPU
+    engine: str = "fused"       # "fused" (one device scan per batch) | "simple"
     build_graph: bool = True    # build a real graph when no graph file
     seed: int = 0
     verbose: bool = False
@@ -127,6 +128,7 @@ def run_private_search(cfg: PrivateSearchConfig,
         skip_prep=cfg.benchmarking,
         non_private=cfg.non_private,
         device=cfg.device,
+        engine=cfg.engine,
         rng=rng,
         failure_prob_log2=cfg.failure_prob_log2,
     )

@@ -44,7 +44,7 @@ class PIRGraphOracle(VertexOracle):
 
     def __init__(self, vectors: np.ndarray, graph: np.ndarray,
                  skip_prep: bool = False, non_private: bool = False,
-                 device: bool = False,
+                 device: bool = False, engine: str = "fused",
                  rng: np.random.Generator | None = None,
                  failure_prob_log2: int = FAILURE_PROB_LOG2):
         self.vectors = np.asarray(vectors, np.float32)
@@ -54,9 +54,10 @@ class PIRGraphOracle(VertexOracle):
         self.skip_prep = skip_prep
         self.non_private = non_private
         self.device = device
+        self.engine = engine
         self.failure_prob_log2 = failure_prob_log2
         self.rng = rng or np.random.default_rng()
-        self.pir: SimpleBatchPianoPIR | None = None
+        self.pir = None  # SimpleBatchPianoPIR | FusedBatchPianoPIR
         # success accounting (private-search.go:348-350, 486-499)
         self.total_query_num = 0
         self.succ_query_num = 0
@@ -66,10 +67,18 @@ class PIRGraphOracle(VertexOracle):
     def preprocess(self):
         entry_bytes = 4 * self.dim + 4 * self.m  # private-search.go:360
         raw = pack_vertex_db(self.vectors, self.graph)
-        self.pir = SimpleBatchPianoPIR(
-            self.n, entry_bytes, self.m, raw,
-            self.failure_prob_log2, device=self.device,
-        )
+        if self.engine == "fused":
+            from pacmann_tpu.pir.engine import FusedBatchPianoPIR
+
+            self.pir = FusedBatchPianoPIR(
+                self.n, entry_bytes, self.m, raw,
+                self.failure_prob_log2, device=self.device,
+            )
+        else:
+            self.pir = SimpleBatchPianoPIR(
+                self.n, entry_bytes, self.m, raw,
+                self.failure_prob_log2, device=self.device,
+            )
         if self.skip_prep:
             self.pir.dummy_preprocessing(rng=self.rng)
         else:
