@@ -244,23 +244,21 @@ def prf_offset_table_device(key: bytes, T: int, S: int, chunk_mask: int):
         return jnp.asarray(out)
 
     key_masks = expand_key_planes(key)
-    block = _device_block()
+    return _prf_table_on_device(key_masks, T, S, chunk_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "S", "chunk_mask"))
+def _prf_table_on_device(key_masks, T: int, S: int, chunk_mask: int):
+    """One device program for the whole (T, S) table: the lane iota, PRF
+    framing, bitsliced AES, and masking never touch the host. Only the
+    2.8 KB key masks are transferred per call."""
     n = T * S
-    tags = (np.arange(n, dtype=np.uint32) // np.uint32(S))
-    xs = (np.arange(n, dtype=np.uint32) % np.uint32(S))
-    lo_full = xs
-    hi_full = tags << np.uint32(3)
-    outs = []
-    for start in range(0, n, block):
-        m = min(block, n - start)
-        lo = lo_full[start : start + m]
-        hi = hi_full[start : start + m]
-        if m < block:
-            lo = np.pad(lo, (0, block - m))
-            hi = np.pad(hi, (0, block - m))
-        outs.append(_mmo_low32_block(key_masks, lo, hi)[:m])
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-    return (out & jnp.uint32(chunk_mask)).reshape(T, S)
+    pad = (n + 255) // 256 * 256  # transpose32 needs lanes % 32 == 0
+    i = jax.lax.broadcasted_iota(jnp.uint32, (pad, 1), 0)[:, 0]
+    tags = i // np.uint32(S)
+    xs = i % np.uint32(S)
+    out = _mmo_low32_body(key_masks, xs, tags << np.uint32(3))
+    return (out[:n] & jnp.uint32(chunk_mask)).reshape(T, S)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -62,6 +62,38 @@ def xor_scan_np(db, offsets, skip, k: int):
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def xor_gather_xla(db, offsets, skip, k: int):
+    """Flat-gather XOR: materialize all (B, S, k) selected rows in one gather
+    and XOR-reduce over chunks. Best for SMALL batches (online queries):
+    one shallow op instead of an S-step scan. Memory = B*S*k*512 bytes.
+    Same contract as xor_scan_xla."""
+    B, S = offsets.shape
+    CK = db.shape[1]
+    flat = db.reshape(S * CK, 128)
+    rows = (
+        jnp.arange(S, dtype=jnp.int32)[None, :, None] * CK
+        + offsets.astype(jnp.int32)[:, :, None] * k
+        + jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    )
+    g = jnp.take(flat, rows.reshape(-1), axis=0).reshape(B, S, k, 128)
+    g = jnp.where(skip[:, :, None, None], jnp.uint32(0), g)
+    return jax.lax.reduce(g, jnp.uint32(0), jax.lax.bitwise_xor, (1,))
+
+
+# Above this many gathered bytes the flat-gather path's materialized
+# (B, S, k, 128) tensor stops fitting comfortably; stream chunks instead.
+_GATHER_BYTES_LIMIT = 256 * 1024 * 1024
+
+
+def xor_scan_device(db, offsets, skip, k: int):
+    """Pick the right device XOR strategy by working-set size."""
+    B, S = offsets.shape
+    if B * S * k * 512 <= _GATHER_BYTES_LIMIT:
+        return xor_gather_xla(db, offsets, skip, k)
+    return xor_scan_xla(db, offsets, skip, k)
+
+
 def xor_scan_host(db, offsets, skip, k: int):
     """Host-tier scan: native AVX2 kernel when built, NumPy otherwise."""
     from pacmann_tpu import native_lib

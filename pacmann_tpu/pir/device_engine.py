@@ -57,6 +57,14 @@ from pacmann_tpu.pir.params import (
 # jitted pieces (module-level so one compilation serves every instance)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "Ep"))
+def _gather_repl(db, flat_s, flat_row, *, k: int, Ep: int):
+    """Gather replacement entry values from the stacked DB on device."""
+    rows = (flat_row[:, None] + jnp.arange(k, dtype=jnp.int32)).reshape(-1)
+    svals = jnp.repeat(flat_s, k)
+    return db[svals, rows].reshape(-1, Ep)
+
+
 @functools.partial(jax.jit, static_argnames=("P", "T", "Hp", "R", "S"))
 def _build_skip(P: int, T: int, Hp: int, R: int, S: int):
     """(P*T, S) bool: backup-hint group g skips chunk g (pir.go:330-339)."""
@@ -75,7 +83,7 @@ def _online_step(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
     """One batch: idx_q (Q, P) i32 local indices (-1 = dummy), rand_offs
     (Q, P, S) u32 dummy offsets. Returns (state', entries (Q, P, k*128),
     ok (Q, P))."""
-    from pacmann_tpu.ops.xor_scan import xor_scan_xla
+    from pacmann_tpu.ops.xor_scan import xor_gather_xla
 
     P = idx_q.shape[1]
     Ep = k * 128
@@ -124,10 +132,10 @@ def _online_step(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
         # dummies keep the fixed access pattern (pir.go:363-371)
         qs = jnp.where(ok[:, None], qs, rnd)
 
-        # server scan over the stacked DB
+        # server scan over the stacked DB (flat gather: B = P is small)
         qs_glob = qs + part_base[:, None]
-        resp = xor_scan_xla(db, qs_glob,
-                            jnp.zeros_like(qs_glob, bool), k)
+        resp = xor_gather_xla(db, qs_glob,
+                              jnp.zeros_like(qs_glob, bool), k)
         resp = resp.reshape(P, Ep)
 
         # unmask (pir.go:451-453)
@@ -253,15 +261,8 @@ class DevicePianoEngine:
                     * self.k)
         flat_s = jnp.asarray(s_ix.reshape(-1))
         flat_row = jnp.asarray(row_base.reshape(-1))
-
-        @jax.jit
-        def gather_repl(db, flat_s, flat_row):
-            rows = (flat_row[:, None]
-                    + jnp.arange(self.k, dtype=jnp.int32)).reshape(-1)
-            svals = jnp.repeat(flat_s, self.k)
-            return db[svals, rows].reshape(-1, self.Ep)
-
-        repl_val = gather_repl(self.db, flat_s, flat_row).reshape(
+        repl_val = _gather_repl(
+            self.db, flat_s, flat_row, k=self.k, Ep=self.Ep).reshape(
             P, S, R, self.Ep)
 
         self.state = dict(
@@ -276,7 +277,7 @@ class DevicePianoEngine:
             repl_idx=jnp.asarray(repl_idx),
             repl_val=repl_val,
         )
-        jax.block_until_ready(self.state["repl_val"])
+        jax.block_until_ready(self.state)
         self._record_stats(time.perf_counter() - t0)
 
     def dummy_preprocessing(self, rng=None):
