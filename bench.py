@@ -10,6 +10,10 @@ preprocesses in 2.64 s on an 8-thread AVX2/AES-NI CPU
 (private-search-report.txt:14). vs_baseline = reference_time / our_time
 (>1 = faster than the reference).
 
+Engine: DevicePianoEngine (pir/device_engine.py) — hint state device-resident,
+one fused program for hint generation. Also reports the online batch latency
+(96 oblivious fetches = one beam-search step at step/parallel=20/3).
+
 Environment knobs:
   PACMANN_BENCH_N        entries (default 1_000_000)
   PACMANN_BENCH_SMALL=1  quick CI-sized run (n=65_536)
@@ -25,6 +29,19 @@ import numpy as np
 REFERENCE_HINTGEN_S = 2.64  # private-search-report.txt:14
 
 
+def synth_raw(n: int, entry_u32: int, seed: int = 0) -> np.ndarray:
+    """Fast synthetic DB: tile one random megablock, then make rows unique.
+    (Content is irrelevant to timing; uniqueness keeps correctness checks
+    meaningful.)"""
+    rng = np.random.default_rng(seed)
+    block = 1 << 14
+    base = rng.integers(0, 2**32, size=(block, entry_u32), dtype=np.uint32)
+    reps = (n + block - 1) // block
+    raw = np.tile(base, (reps, 1))[:n]
+    raw[:, 0] = np.arange(n, dtype=np.uint32)  # distinct entries
+    return raw
+
+
 def main() -> int:
     n = int(os.environ.get("PACMANN_BENCH_N", "1000000"))
     if os.environ.get("PACMANN_BENCH_SMALL"):
@@ -35,24 +52,35 @@ def main() -> int:
 
     import jax
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    from pacmann_tpu.pir.device_engine import DevicePianoEngine
 
-    rng = np.random.default_rng(0)
-    raw = rng.integers(0, 2**32, size=(n, entry_bytes // 4), dtype=np.uint32)
-
-    from pacmann_tpu.pir.engine import FusedBatchPianoPIR
-
-    pir = FusedBatchPianoPIR(n, entry_bytes, batch, raw, 8, device=on_tpu)
+    raw = synth_raw(n, entry_bytes // 4)
+    pir = DevicePianoEngine(n, entry_bytes, batch, raw, 8)
+    jax.block_until_ready(pir.db)
 
     # warm-up: compile every kernel shape once
     pir.preprocessing(rng=np.random.default_rng(1))
-    # timed run
+    # timed hint generation
     t0 = time.perf_counter()
     pir.preprocessing(rng=np.random.default_rng(2))
     t = time.perf_counter() - t0
 
+    # online: batches of 96 (one beam step at parallel=3, m=32), spread ids
+    rng = np.random.default_rng(3)
+    ids = [int(i) for i in rng.integers(0, n, 96)]
+    pir.query(ids)  # compile
+    iters, ok, tot = 10, 0, 0
+    t1 = time.perf_counter()
+    for _ in range(iters):
+        ids = [int(i) for i in rng.integers(0, n, 96)]
+        out = pir.query(ids)
+        for r, idx in enumerate(ids):
+            tot += 1
+            ok += int(np.array_equal(out[r], raw[idx]))
+    online_ms = (time.perf_counter() - t1) / iters * 1000
+
     db_gb = n * entry_bytes / 1e9
-    scale = n / 1_000_000.0  # linear-ish scaling when running reduced sizes
+    scale = n / 1_000_000.0
     vs = REFERENCE_HINTGEN_S * scale / t
 
     print(json.dumps({
@@ -65,6 +93,8 @@ def main() -> int:
             "entry_bytes": entry_bytes,
             "db_gb": round(db_gb, 3),
             "db_gbps": round(db_gb / t, 3),
+            "online_ms_per_batch96": round(online_ms, 2),
+            "online_success_rate": round(ok / max(tot, 1), 4),
             "platform": jax.devices()[0].platform,
             "reference_s": REFERENCE_HINTGEN_S,
         },

@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-device", action="store_true", help="PIR server DB on TPU")
     p.add_argument("-engine", default="fused", choices=["fused", "simple"],
                    help="batch PIR engine (fused = one device scan per batch)")
+    p.add_argument("-concurrent", type=int, default=1,
+                   help="queries advanced in lockstep per oracle batch")
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-verbose", action="store_true")
     return p
@@ -54,8 +56,8 @@ def main(argv=None) -> int:
         max_step=args.step, parallel=args.parallel,
         benchmarking=args.benchmark, rtt_ms=args.rtt,
         non_private=args.nonprivate, failure_prob_log2=args.fail,
-        device=args.device, engine=args.engine, seed=args.seed,
-        verbose=args.verbose,
+        device=args.device, engine=args.engine, concurrent=args.concurrent,
+        seed=args.seed, verbose=args.verbose,
     )
     res = run_private_search(cfg)
     print(res.report.render())

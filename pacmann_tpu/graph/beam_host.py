@@ -140,9 +140,92 @@ class BeamSearcher:
 
     def search_knn_batch(self, queries, k, max_step, parallel,
                          benchmarking=False):
+        """Sequential per-query loop (SearchKNNBatch, search.go:236-245)."""
         out_ids, out_steps = [], []
         for q in np.asarray(queries, np.float32):
             i, s = self.search_knn(q, k, max_step, parallel, benchmarking)
             out_ids.append(i)
             out_steps.append(s)
         return np.stack(out_ids), np.stack(out_steps)
+
+    def search_knn_concurrent(self, queries, k, max_step, parallel,
+                              benchmarking=False):
+        """TPU-native concurrent form: all queries advance in lockstep and
+        each beam step issues ONE oracle batch with every query's fetches.
+
+        Beyond amortizing the per-batch device/RTT cost over Q queries, the
+        bigger batch improves the lossy batch-PIR contract: the per-partition
+        quota grows to Q*parallel*m/P, so random imbalance drops a smaller
+        fraction of fetches than the reference's per-query batches
+        (batch-pir.go:194-216). Traversal semantics per query are identical
+        to search_knn.
+        """
+        queries = np.asarray(queries, np.float32)
+        Q = queries.shape[0]
+        n, dim, m = self.oracle.get_metadata()
+
+        known = [dict() for _ in range(Q)]     # id -> (vec, nbrs)
+        dist = [dict() for _ in range(Q)]
+        reach = [dict() for _ in range(Q)]
+        frontier = [[] for _ in range(Q)]
+
+        if not benchmarking:
+            sids, svecs, snbrs = self.start
+            sdist = np.sum(
+                (svecs[None, :, :] - queries[:, None, :]) ** 2, axis=-1)
+            for qi in range(Q):
+                order = np.argsort(sdist[qi], kind="stable")
+                count = 0
+                for j in order:
+                    if count >= parallel:
+                        break
+                    vid = int(sids[j])
+                    if vid in known[qi]:
+                        continue
+                    known[qi][vid] = (svecs[j], snbrs[j])
+                    dist[qi][vid] = float(sdist[qi][j])
+                    reach[qi][vid] = 0
+                    heapq.heappush(frontier[qi], (float(sdist[qi][j]), vid))
+                    count += 1
+
+        per_q = parallel * m
+        for step in range(max_step):
+            batch = np.empty(Q * per_q, np.int64)
+            for qi in range(Q):
+                pos = qi * per_q
+                for _ in range(parallel):
+                    if not frontier[qi] or benchmarking:
+                        batch[pos : pos + m] = self.rng.integers(0, n, size=m)
+                    else:
+                        _, v = heapq.heappop(frontier[qi])
+                        batch[pos : pos + m] = known[qi][v][1]
+                    pos += m
+
+            vecs, nbrs = self.oracle.get_vertex_info(batch)
+            if benchmarking:
+                continue
+
+            vecs = np.asarray(vecs, np.float32)
+            for qi in range(Q):
+                sl = slice(qi * per_q, (qi + 1) * per_q)
+                v_q, n_q, b_q = vecs[sl], nbrs[sl], batch[sl]
+                cdist = _l2(v_q, queries[qi][None, :])
+                for i, vid in enumerate(b_q):
+                    vid = int(vid)
+                    if vid in known[qi]:
+                        continue
+                    if not np.any(n_q[i] != 0):
+                        continue
+                    known[qi][vid] = (v_q[i], n_q[i])
+                    dist[qi][vid] = float(cdist[i])
+                    reach[qi][vid] = step
+                    heapq.heappush(frontier[qi], (float(cdist[i]), vid))
+
+        ids = np.full((Q, k), -1, np.int64)
+        steps = np.full((Q, k), -1, np.int64)
+        for qi in range(Q):
+            ranked = sorted(dist[qi].items(), key=lambda kv: kv[1])
+            for i in range(min(k, len(ranked))):
+                ids[qi, i] = ranked[i][0]
+                steps[qi, i] = reach[qi][ranked[i][0]]
+        return ids, steps

@@ -191,14 +191,19 @@ class DevicePianoEngine:
         self.k = layout.entry_rows(entry_u32)
         self.Ep = self.k * 128
 
-        padded = np.zeros((P * psize, entry_u32), np.uint32)
-        padded[:db_size] = raw
-        blocks = [
-            layout.pack_db(padded[i * psize:(i + 1) * psize],
-                           p.chunk_size, p.set_size)
-            for i in range(P)
-        ]
-        self.db = jax.device_put(np.concatenate(blocks, axis=1))
+        # pack straight into the final (S, P*C*k, 128) buffer: one pass per
+        # partition, no concatenate (matters at 1 GB+ on a slow host CPU)
+        S, C = p.set_size, p.chunk_size
+        db_f = np.zeros((S, P * C * self.k, 128), np.uint32)
+        db_v = db_f.reshape(S, P, C * self.k * 128)
+        for i in range(P):
+            lo = i * psize
+            hi = min((i + 1) * psize, db_size)
+            tmp = np.zeros((S * C, self.k * 128), np.uint32)
+            if hi > lo:
+                tmp[: hi - lo, :entry_u32] = raw[lo:hi]
+            db_v[:, i] = tmp.reshape(S, C * self.k * 128)
+        self.db = jax.device_put(db_f)
         self.state = None
         self.cache: dict[int, np.ndarray] = {}
         self._rng = np.random.default_rng()

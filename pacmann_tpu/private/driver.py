@@ -62,6 +62,7 @@ class PrivateSearchConfig:
     failure_prob_log2: int = FAILURE_PROB_LOG2
     device: bool = False        # PIR server DB on TPU
     engine: str = "fused"       # "fused" (one device scan per batch) | "simple"
+    concurrent: int = 1         # queries advanced in lockstep per oracle batch
     build_graph: bool = True    # build a real graph when no graph file
     seed: int = 0
     verbose: bool = False
@@ -145,16 +146,24 @@ def run_private_search(cfg: PrivateSearchConfig,
     answers = np.full((cfg.q, cfg.k), -1, np.int64)
     steps = np.full((cfg.q, cfg.k), -1, np.int64)
     maintenance = 0.0
+    group = max(cfg.concurrent, 1)
     t0 = time.perf_counter()
-    for i in range(cfg.q):
+    for i in range(0, cfg.q, group):
         if cfg.verbose and i % 100 == 0:
             print(f"Processing query {i}")
-        answers[i], steps[i] = frontend.search_knn(
-            queries[i], cfg.k, cfg.max_step, cfg.parallel, cfg.benchmarking
-        )
+        j = min(i + group, cfg.q)
+        if group > 1:
+            answers[i:j], steps[i:j] = frontend.search_knn_concurrent(
+                queries[i:j], cfg.k, cfg.max_step, cfg.parallel,
+                cfg.benchmarking)
+        else:
+            answers[i], steps[i] = frontend.search_knn(
+                queries[i], cfg.k, cfg.max_step, cfg.parallel,
+                cfg.benchmarking)
         # proactive refresh (private-search.go:224-230)
         if (pir is not None and not cfg.non_private
-                and pir.finished_batch_num + sp + 10 >= pir.support_batch_num):
+                and pir.finished_batch_num + sp * (j - i) + 10
+                >= pir.support_batch_num):
             tm = time.perf_counter()
             pir.preprocessing()
             maintenance += time.perf_counter() - tm

@@ -98,3 +98,22 @@ def test_benchmarking_mode_skips_prep():
     # dummy prep: all fetches return zeros, so no answers are produced, but
     # the fixed access pattern runs to completion (private-search.go:189,404)
     assert res.prep_time_s < 5.0
+
+
+def test_concurrent_matches_sequential_quality():
+    """Lockstep concurrent search must match (or beat) sequential recall —
+    the bigger PIR batches drop fewer fetches."""
+    vectors, graph, queries, gnd = _setup()
+    n, dim = vectors.shape
+    m = graph.shape[1]
+    base = dict(n=n, dim=dim, m=m, k=10, q=queries.shape[0],
+                max_step=16, parallel=3, build_graph=False, seed=7)
+    seq = run_private_search(
+        PrivateSearchConfig(**base),
+        vectors=vectors, graph=graph, queries=queries, gnd=gnd)
+    conc = run_private_search(
+        PrivateSearchConfig(**base, concurrent=8),
+        vectors=vectors, graph=graph, queries=queries, gnd=gnd)
+    assert conc.recall > seq.recall - 0.1, (conc.recall, seq.recall)
+    assert conc.success_rate >= seq.success_rate - 0.05, (
+        conc.success_rate, seq.success_rate)
