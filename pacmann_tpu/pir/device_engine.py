@@ -74,6 +74,91 @@ def _build_skip(P: int, T: int, Hp: int, R: int, S: int):
     return (t >= Hp) & (s == grp)
 
 
+def _pir_substep(db, table, repl_idx, repl_val, bpar, carry, idx, rnd,
+                 *, C, R, Hp, S, k, max_q, dpp):
+    """Serve ONE sub-query in every partition simultaneously.
+
+    carry = (tag, prog, ppar, hist, finished); idx (P,) i32 local indices
+    (-1 = dummy); rnd (P, S) u32 dummy offsets. Returns (carry', entry
+    (P, k*128), ok (P,)). The full protocol round: hit scan (pir.go:404-419),
+    set expansion + programmed point (pir.go:422-433), replacement
+    (pir.go:436-439), server XOR scan (pir.go:65-88), unmask + refresh
+    (pir.go:451-468)."""
+    from pacmann_tpu.ops.xor_scan import xor_gather_xla
+
+    tag, prog, ppar, hist, finished = carry
+    P = idx.shape[0]
+    Ep = k * 128
+    part_base = (jnp.arange(P, dtype=jnp.uint32) * np.uint32(C))
+
+    real = idx >= 0
+    idx_u = jnp.where(real, idx, 0).astype(jnp.uint32)
+    chunk = (idx_u // C).astype(jnp.int32)           # (P,)
+    off = idx_u % C                                  # (P,) u32
+
+    # hit scan: PRF column for each partition's query chunk
+    col = jnp.take_along_axis(
+        table, chunk[:, None, None], axis=2)[:, :, 0]  # (P, T)
+    col_tag = jnp.take_along_axis(col, tag, axis=1)   # (P, Hp)
+    prog_set = prog != dpp
+    prog_chunk = (prog // C).astype(jnp.int32)
+    elig = (col_tag == off[:, None]) & (
+        ~prog_set | (prog_chunk != chunk[:, None]))
+    elig &= real[:, None]
+    hit = jnp.argmax(elig, axis=1)                    # first True (P,)
+    found = jnp.any(elig, axis=1)
+
+    # budget (pir.go:386-400)
+    ig = jnp.take_along_axis(hist, chunk[:, None], axis=1)[:, 0]  # (P,)
+    ok = real & found & (ig < R) & (finished < max_q)
+
+    # set expansion (pir.go:422-427)
+    hit_tag = jnp.take_along_axis(tag, hit[:, None], axis=1)[:, 0]
+    qs = jnp.take_along_axis(
+        table, hit_tag[:, None, None].astype(jnp.int32),
+        axis=1)[:, 0, :]                              # (P, S) u32
+    # programmed point (pir.go:430-433)
+    hp = jnp.take_along_axis(prog, hit[:, None], axis=1)[:, 0]
+    hp_set = hp != dpp
+    s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+    qs = jnp.where(
+        (s_iota == (hp // C).astype(jnp.int32)[:, None]) & hp_set[:, None],
+        (hp % C)[:, None], qs)
+    # replacement (pir.go:436-439)
+    r_idx = repl_idx[jnp.arange(P), chunk, ig.astype(jnp.int32)]
+    qs = jnp.where(s_iota == chunk[:, None], (r_idx % C)[:, None], qs)
+
+    # dummies keep the fixed access pattern (pir.go:363-371)
+    qs = jnp.where(ok[:, None], qs, rnd)
+
+    # server scan over the stacked DB (flat gather: B = P is small)
+    qs_glob = qs + part_base[:, None]
+    resp = xor_gather_xla(db, qs_glob, jnp.zeros_like(qs_glob, bool), k)
+    resp = resp.reshape(P, Ep)
+
+    # unmask (pir.go:451-453)
+    r_val = repl_val[jnp.arange(P), chunk, ig.astype(jnp.int32)]
+    par = jnp.take_along_axis(ppar, hit[:, None, None], axis=1)[:, 0, :]
+    entry = resp ^ r_val ^ par
+    entry = jnp.where(ok[:, None], entry, 0)
+
+    # refresh from backup (pir.go:460-468)
+    btag = Hp + chunk * R + ig.astype(jnp.int32)
+    bp = jnp.take_along_axis(bpar, btag[:, None, None] - Hp, axis=1)[:, 0, :]
+    new_par = bp ^ entry
+    rows = jnp.arange(P)
+    old_par = jnp.take_along_axis(ppar, hit[:, None, None], axis=1)[:, 0, :]
+    ppar = ppar.at[rows, hit].set(jnp.where(ok[:, None], new_par, old_par))
+    tag = tag.at[rows, hit].set(
+        jnp.where(ok, btag, jnp.take_along_axis(tag, hit[:, None], axis=1)[:, 0]))
+    prog = prog.at[rows, hit].set(
+        jnp.where(ok, idx_u, jnp.take_along_axis(prog, hit[:, None], axis=1)[:, 0]))
+    hist = hist.at[rows, chunk].add(ok.astype(hist.dtype))
+    finished = finished + ok.astype(finished.dtype)
+
+    return (tag, prog, ppar, hist, finished), entry, ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("C", "R", "Hp", "S", "k", "max_q", "dpp"),
@@ -83,93 +168,21 @@ def _online_step(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
     """One batch: idx_q (Q, P) i32 local indices (-1 = dummy), rand_offs
     (Q, P, S) u32 dummy offsets. Returns (state', entries (Q, P, k*128),
     ok (Q, P))."""
-    from pacmann_tpu.ops.xor_scan import xor_gather_xla
-
-    P = idx_q.shape[1]
-    Ep = k * 128
-    part_base = (jnp.arange(P, dtype=jnp.uint32) * np.uint32(C))
+    bpar = state["backup_parity"]  # read-only in the scan: keep out of carry
 
     def step(carry, inp):
-        tag, prog, ppar, bpar, hist, finished = carry
-        idx, rnd = inp                                   # (P,), (P, S)
-        real = idx >= 0
-        idx_u = jnp.where(real, idx, 0).astype(jnp.uint32)
-        chunk = (idx_u // C).astype(jnp.int32)           # (P,)
-        off = idx_u % C                                  # (P,) u32
-
-        # hit scan: PRF column for each partition's query chunk
-        col = jnp.take_along_axis(
-            state["table"], chunk[:, None, None], axis=2)[:, :, 0]  # (P, T)
-        col_tag = jnp.take_along_axis(col, tag, axis=1)   # (P, Hp)
-        prog_set = prog != dpp
-        prog_chunk = (prog // C).astype(jnp.int32)
-        elig = (col_tag == off[:, None]) & (
-            ~prog_set | (prog_chunk != chunk[:, None]))
-        elig &= real[:, None]
-        hit = jnp.argmax(elig, axis=1)                    # first True (P,)
-        found = jnp.any(elig, axis=1)
-
-        # budget (pir.go:386-400)
-        ig = jnp.take_along_axis(hist, chunk[:, None], axis=1)[:, 0]  # (P,)
-        ok = real & found & (ig < R) & (finished < max_q)
-
-        # set expansion (pir.go:422-427)
-        hit_tag = jnp.take_along_axis(tag, hit[:, None], axis=1)[:, 0]
-        qs = jnp.take_along_axis(
-            state["table"], hit_tag[:, None, None].astype(jnp.int32),
-            axis=1)[:, 0, :]                              # (P, S) u32
-        # programmed point (pir.go:430-433)
-        hp = jnp.take_along_axis(prog, hit[:, None], axis=1)[:, 0]
-        hp_set = hp != dpp
-        s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
-        qs = jnp.where(
-            (s_iota == (hp // C).astype(jnp.int32)[:, None]) & hp_set[:, None],
-            (hp % C)[:, None], qs)
-        # replacement (pir.go:436-439)
-        r_idx = state["repl_idx"][jnp.arange(P), chunk, ig.astype(jnp.int32)]
-        qs = jnp.where(s_iota == chunk[:, None], (r_idx % C)[:, None], qs)
-
-        # dummies keep the fixed access pattern (pir.go:363-371)
-        qs = jnp.where(ok[:, None], qs, rnd)
-
-        # server scan over the stacked DB (flat gather: B = P is small)
-        qs_glob = qs + part_base[:, None]
-        resp = xor_gather_xla(db, qs_glob,
-                              jnp.zeros_like(qs_glob, bool), k)
-        resp = resp.reshape(P, Ep)
-
-        # unmask (pir.go:451-453)
-        r_val = state["repl_val"][jnp.arange(P), chunk, ig.astype(jnp.int32)]
-        par = jnp.take_along_axis(
-            ppar, hit[:, None, None], axis=1)[:, 0, :]
-        entry = resp ^ r_val ^ par
-        entry = jnp.where(ok[:, None], entry, 0)
-
-        # refresh from backup (pir.go:460-468)
-        btag = Hp + chunk * R + ig.astype(jnp.int32)
-        bp = jnp.take_along_axis(bpar, btag[:, None, None] - Hp, axis=1)[:, 0, :]
-        new_par = bp ^ entry
-        rows = jnp.arange(P)
-        old_par = jnp.take_along_axis(ppar, hit[:, None, None], axis=1)[:, 0, :]
-        ppar = ppar.at[rows, hit].set(
-            jnp.where(ok[:, None], new_par, old_par))
-        tag = tag.at[rows, hit].set(
-            jnp.where(ok, btag, jnp.take_along_axis(
-                tag, hit[:, None], axis=1)[:, 0]))
-        prog = prog.at[rows, hit].set(
-            jnp.where(ok, idx_u, jnp.take_along_axis(
-                prog, hit[:, None], axis=1)[:, 0]))
-        hist = hist.at[rows, chunk].add(ok.astype(hist.dtype))
-        finished = finished + ok.astype(finished.dtype)
-
-        return (tag, prog, ppar, bpar, hist, finished), (entry, ok)
+        idx, rnd = inp
+        carry, entry, ok = _pir_substep(
+            db, state["table"], state["repl_idx"], state["repl_val"], bpar,
+            carry, idx, rnd, C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
+        return carry, (entry, ok)
 
     carry = (state["tag"], state["prog"], state["primary_parity"],
-             state["backup_parity"], state["hist"], state["finished"])
+             state["hist"], state["finished"])
     carry, (entries, oks) = jax.lax.scan(step, carry, (idx_q, rand_offs))
-    tag, prog, ppar, bpar, hist, finished = carry
+    tag, prog, ppar, hist, finished = carry
     new_state = dict(state, tag=tag, prog=prog, primary_parity=ppar,
-                     backup_parity=bpar, hist=hist, finished=finished)
+                     hist=hist, finished=finished)
     return new_state, entries, oks
 
 
@@ -282,7 +295,12 @@ class DevicePianoEngine:
             repl_idx=jnp.asarray(repl_idx),
             repl_val=repl_val,
         )
-        jax.block_until_ready(self.state)
+        # block_until_ready can return early on tunneled platforms; a D2H
+        # read of values that depend on every prep pass forces a real sync.
+        _ = np.asarray(self.state["primary_parity"][-1, -1]
+                       ^ self.state["backup_parity"][-1, -1]
+                       ^ self.state["repl_val"][-1, -1, -1])
+        _ = np.asarray(self.state["table"][-1, -1, -1])
         self._record_stats(time.perf_counter() - t0)
 
     def dummy_preprocessing(self, rng=None):
