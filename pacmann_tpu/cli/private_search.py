@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nonprivate", action="store_true", help="bypass PIR")
     p.add_argument("-fail", type=int, default=8, help="FailureProbLog2")
     p.add_argument("-device", action="store_true", help="PIR server DB on TPU")
-    p.add_argument("-engine", default="fused", choices=["fused", "simple"],
+    p.add_argument("-engine", default="fused", choices=["fused", "simple", "device", "device-fused"],
                    help="batch PIR engine (fused = one device scan per batch)")
     p.add_argument("-concurrent", type=int, default=1,
                    help="queries advanced in lockstep per oracle batch")

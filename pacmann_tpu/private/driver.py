@@ -61,7 +61,7 @@ class PrivateSearchConfig:
     non_private: bool = False
     failure_prob_log2: int = FAILURE_PROB_LOG2
     device: bool = False        # PIR server DB on TPU
-    engine: str = "fused"       # "fused" (one device scan per batch) | "simple"
+    engine: str = "fused"       # "simple" | "fused" | "device" | "device-fused"
     concurrent: int = 1         # queries advanced in lockstep per oracle batch
     build_graph: bool = True    # build a real graph when no graph file
     seed: int = 0
@@ -124,12 +124,13 @@ def run_private_search(cfg: PrivateSearchConfig,
         queries = queries if queries is not None else q2
     assert graph is not None
 
+    fused_mode = cfg.engine == "device-fused" and not cfg.non_private
     oracle = PIRGraphOracle(
         vectors, graph,
         skip_prep=cfg.benchmarking,
         non_private=cfg.non_private,
         device=cfg.device,
-        engine=cfg.engine,
+        engine="device" if fused_mode else cfg.engine,
         rng=rng,
         failure_prob_log2=cfg.failure_prob_log2,
     )
@@ -147,6 +148,35 @@ def run_private_search(cfg: PrivateSearchConfig,
     steps = np.full((cfg.q, cfg.k), -1, np.int64)
     maintenance = 0.0
     group = max(cfg.concurrent, 1)
+
+    if fused_mode:
+        # the whole beam+PIR search runs as one device program per group;
+        # the wrapper refreshes hints proactively (maintenance not split out)
+        from pacmann_tpu.private.fused_search import FusedPrivateSearch
+
+        sids, svecs, snbrs = frontend.start
+        fs = FusedPrivateSearch(oracle.pir, sids, svecs, snbrs,
+                                dim=cfg.dim, m=cfg.m, n=cfg.n)
+        # warm-up compile on the first group shape
+        first = min(group, cfg.q)
+        fs.search(queries[:first], cfg.k, cfg.max_step, cfg.parallel,
+                  seed=cfg.seed)
+        oracle.pir.preprocessing()  # fresh budget after the warm-up burn
+        t0 = time.perf_counter()
+        for i in range(0, cfg.q, group):
+            j = min(i + group, cfg.q)
+            g = queries[i:j]
+            if g.shape[0] < group:  # pad to the compiled shape
+                g = np.concatenate(
+                    [g, np.zeros((group - g.shape[0], cfg.dim), np.float32)])
+            out = fs.search(g, cfg.k, cfg.max_step, cfg.parallel,
+                            seed=cfg.seed + 1 + i)
+            answers[i:j] = out[: j - i]
+        search_time = time.perf_counter() - t0
+        avg_time = search_time / max(cfg.q, 1)
+        return _finalize(cfg, oracle, answers, steps, avg_time, 0.0,
+                         prep_time, gnd, window)
+
     t0 = time.perf_counter()
     for i in range(0, cfg.q, group):
         if cfg.verbose and i % 100 == 0:
@@ -169,7 +199,13 @@ def run_private_search(cfg: PrivateSearchConfig,
             maintenance += time.perf_counter() - tm
     search_time = time.perf_counter() - t0 - maintenance
     avg_time = search_time / max(cfg.q, 1)
+    return _finalize(cfg, oracle, answers, steps, avg_time, maintenance,
+                     prep_time, gnd, window)
 
+
+def _finalize(cfg, oracle, answers, steps, avg_time, maintenance, prep_time,
+              gnd, window):
+    pir = oracle.pir
     if cfg.output_file:
         save_int_matrix(cfg.output_file, answers)
 

@@ -67,7 +67,12 @@ class PIRGraphOracle(VertexOracle):
     def preprocess(self):
         entry_bytes = 4 * self.dim + 4 * self.m  # private-search.go:360
         raw = pack_vertex_db(self.vectors, self.graph)
-        if self.engine == "fused":
+        if self.engine == "device":
+            from pacmann_tpu.pir.device_engine import DevicePianoEngine
+
+            self.pir = DevicePianoEngine(
+                self.n, entry_bytes, self.m, raw, self.failure_prob_log2)
+        elif self.engine == "fused":
             from pacmann_tpu.pir.engine import FusedBatchPianoPIR
 
             self.pir = FusedBatchPianoPIR(

@@ -117,3 +117,17 @@ def test_concurrent_matches_sequential_quality():
     assert conc.recall > seq.recall - 0.1, (conc.recall, seq.recall)
     assert conc.success_rate >= seq.success_rate - 0.05, (
         conc.success_rate, seq.success_rate)
+
+
+def test_device_fused_driver_path():
+    """engine=device-fused: whole search in one device program per group."""
+    vectors, graph, queries, gnd = _setup(n=2048)
+    n, dim = vectors.shape
+    m = graph.shape[1]
+    res = run_private_search(
+        PrivateSearchConfig(n=n, dim=dim, m=m, k=10, q=queries.shape[0],
+                            max_step=12, parallel=2, build_graph=False,
+                            engine="device-fused", concurrent=1, seed=7),
+        vectors=vectors, graph=graph, queries=queries, gnd=gnd,
+    )
+    assert res.recall > 0.45, res.recall
