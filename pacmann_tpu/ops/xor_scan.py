@@ -94,6 +94,42 @@ def xor_scan_device(db, offsets, skip, k: int):
     return xor_scan_xla(db, offsets, skip, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def xor_gather_parts(db4, offsets, k: int):
+    """Partition-major flat-gather XOR: db4 (S, P, C*k, 128) u32, offsets
+    (P, S) u32 — ONE sub-query per partition. Returns (P, k, 128).
+    This is the per-round server scan of the partition-sharded engine; with
+    db4 sharded on its partition axis, it runs with zero collectives."""
+    P, S = offsets.shape
+    rows = (offsets.T.astype(jnp.int32)[:, :, None] * k
+            + jnp.arange(k, dtype=jnp.int32)[None, None, :])   # (S, P, k)
+    g = jnp.take_along_axis(db4, rows[..., None], axis=2)       # (S, P, k, 128)
+    return jax.lax.reduce(g, jnp.uint32(0), jax.lax.bitwise_xor, (0,))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def xor_scan_parts(db4, offsets, skip, k: int):
+    """Partition-major chunk-streaming XOR scan (hint generation):
+    db4 (S, P, C*k, 128); offsets (P, B, S) u32; skip (P, B, S) bool.
+    Returns (P, B, k, 128). Streams one chunk of every partition per step."""
+    P, B, S = offsets.shape
+
+    def body(acc, inp):
+        chunk, off_s, skip_s = inp     # (P, C*k, 128), (P, B), (P, B)
+        rows = (off_s.astype(jnp.int32)[:, :, None] * k
+                + jnp.arange(k, dtype=jnp.int32)[None, None, :])  # (P, B, k)
+        g = jnp.take_along_axis(chunk, rows.reshape(P, B * k)[..., None],
+                                axis=1).reshape(P, B, k, 128)
+        g = jnp.where(skip_s[:, :, None, None], jnp.uint32(0), g)
+        return acc ^ g, None
+
+    acc0 = jnp.zeros((P, B, k, 128), jnp.uint32)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (db4, jnp.moveaxis(offsets, 2, 0), jnp.moveaxis(skip, 2, 0)))
+    return acc
+
+
 def xor_scan_host(db, offsets, skip, k: int):
     """Host-tier scan: native AVX2 kernel when built, NumPy otherwise."""
     from pacmann_tpu import native_lib

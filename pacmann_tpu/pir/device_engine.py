@@ -58,11 +58,16 @@ from pacmann_tpu.pir.params import (
 
 
 @functools.partial(jax.jit, static_argnames=("k", "Ep"))
-def _gather_repl(db, flat_s, flat_row, *, k: int, Ep: int):
-    """Gather replacement entry values from the stacked DB on device."""
-    rows = (flat_row[:, None] + jnp.arange(k, dtype=jnp.int32)).reshape(-1)
-    svals = jnp.repeat(flat_s, k)
-    return db[svals, rows].reshape(-1, Ep)
+def _gather_repl(db4, repl_off, *, k: int, Ep: int):
+    """Replacement values from the partition-major DB: db4 (S, P, C*k, 128),
+    repl_off (P, S, R) local in-chunk offsets -> (P, S, R, Ep)."""
+    P, S, R = repl_off.shape
+    rows = (jnp.moveaxis(repl_off, 1, 0).astype(jnp.int32)[:, :, :, None] * k
+            + jnp.arange(k, dtype=jnp.int32))           # (S, P, R, k)
+    g = jnp.take_along_axis(
+        db4, rows.reshape(S, P, R * k)[..., None], axis=2)  # (S, P, R*k, 128)
+    g = g.reshape(S, P, R, Ep)
+    return jnp.moveaxis(g, 0, 1)                         # (P, S, R, Ep)
 
 
 @functools.partial(jax.jit, static_argnames=("P", "T", "Hp", "R", "S"))
@@ -74,7 +79,7 @@ def _build_skip(P: int, T: int, Hp: int, R: int, S: int):
     return (t >= Hp) & (s == grp)
 
 
-def _pir_substep(db, table, repl_idx, repl_val, bpar, carry, idx, rnd,
+def _pir_substep(db, table, table_t, repl_idx, repl_val, bpar, carry, idx, rnd,
                  *, C, R, Hp, S, k, max_q, dpp):
     """Serve ONE sub-query in every partition simultaneously.
 
@@ -84,21 +89,22 @@ def _pir_substep(db, table, repl_idx, repl_val, bpar, carry, idx, rnd,
     set expansion + programmed point (pir.go:422-433), replacement
     (pir.go:436-439), server XOR scan (pir.go:65-88), unmask + refresh
     (pir.go:451-468)."""
-    from pacmann_tpu.ops.xor_scan import xor_gather_xla
+    from pacmann_tpu.ops.xor_scan import xor_gather_parts
 
     tag, prog, ppar, hist, finished = carry
     P = idx.shape[0]
     Ep = k * 128
-    part_base = (jnp.arange(P, dtype=jnp.uint32) * np.uint32(C))
 
     real = idx >= 0
     idx_u = jnp.where(real, idx, 0).astype(jnp.uint32)
     chunk = (idx_u // C).astype(jnp.int32)           # (P,)
     off = idx_u % C                                  # (P,) u32
 
-    # hit scan: PRF column for each partition's query chunk
+    # hit scan: PRF column for each partition's query chunk. table_t is the
+    # (P, S, T) transpose so this is a contiguous row read, not a stride-S
+    # gather across the whole table.
     col = jnp.take_along_axis(
-        table, chunk[:, None, None], axis=2)[:, :, 0]  # (P, T)
+        table_t, chunk[:, None, None], axis=1)[:, 0, :]  # (P, T)
     col_tag = jnp.take_along_axis(col, tag, axis=1)   # (P, Hp)
     prog_set = prog != dpp
     prog_chunk = (prog // C).astype(jnp.int32)
@@ -131,10 +137,8 @@ def _pir_substep(db, table, repl_idx, repl_val, bpar, carry, idx, rnd,
     # dummies keep the fixed access pattern (pir.go:363-371)
     qs = jnp.where(ok[:, None], qs, rnd)
 
-    # server scan over the stacked DB (flat gather: B = P is small)
-    qs_glob = qs + part_base[:, None]
-    resp = xor_gather_xla(db, qs_glob, jnp.zeros_like(qs_glob, bool), k)
-    resp = resp.reshape(P, Ep)
+    # server scan: one row per partition from each chunk (local offsets)
+    resp = xor_gather_parts(db, qs, k).reshape(P, Ep)
 
     # unmask (pir.go:451-453)
     r_val = repl_val[jnp.arange(P), chunk, ig.astype(jnp.int32)]
@@ -159,22 +163,19 @@ def _pir_substep(db, table, repl_idx, repl_val, bpar, carry, idx, rnd,
     return (tag, prog, ppar, hist, finished), entry, ok
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("C", "R", "Hp", "S", "k", "max_q", "dpp"),
-    donate_argnames=("state",),
-)
-def _online_step(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
+def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
     """One batch: idx_q (Q, P) i32 local indices (-1 = dummy), rand_offs
     (Q, P, S) u32 dummy offsets. Returns (state', entries (Q, P, k*128),
-    ok (Q, P))."""
+    ok (Q, P)). Pure per-partition compute — shard_map-able on the
+    partition axis with zero collectives."""
     bpar = state["backup_parity"]  # read-only in the scan: keep out of carry
 
     def step(carry, inp):
         idx, rnd = inp
         carry, entry, ok = _pir_substep(
-            db, state["table"], state["repl_idx"], state["repl_val"], bpar,
-            carry, idx, rnd, C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
+            db, state["table"], state["table_t"], state["repl_idx"],
+            state["repl_val"], bpar, carry, idx, rnd,
+            C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
         return carry, (entry, ok)
 
     carry = (state["tag"], state["prog"], state["primary_parity"],
@@ -184,6 +185,13 @@ def _online_step(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
     new_state = dict(state, tag=tag, prog=prog, primary_parity=ppar,
                      hist=hist, finished=finished)
     return new_state, entries, oks
+
+
+_online_step = functools.partial(
+    jax.jit,
+    static_argnames=("C", "R", "Hp", "S", "k", "max_q", "dpp"),
+    donate_argnames=("state",),
+)(_online_core)
 
 
 class DevicePianoEngine:
@@ -204,10 +212,12 @@ class DevicePianoEngine:
         self.k = layout.entry_rows(entry_u32)
         self.Ep = self.k * 128
 
-        # pack straight into the final (S, P*C*k, 128) buffer: one pass per
-        # partition, no concatenate (matters at 1 GB+ on a slow host CPU)
+        # pack straight into the final (S, P, C*k, 128) buffer: one pass per
+        # partition, no concatenate (matters at 1 GB+ on a slow host CPU).
+        # Partition axis second: chunk streaming scans lead on S, and the
+        # multi-chip engine shards the partition axis (parallel/sharding.py).
         S, C = p.set_size, p.chunk_size
-        db_f = np.zeros((S, P * C * self.k, 128), np.uint32)
+        db_f = np.zeros((S, P, C * self.k, 128), np.uint32)
         db_v = db_f.reshape(S, P, C * self.k * 128)
         for i in range(P):
             lo = i * psize
@@ -237,7 +247,7 @@ class DevicePianoEngine:
         self.comm_cost_per_batch_offline = int(db_bytes / self.support_batch_num)
 
     def preprocessing(self, rng: np.random.Generator | None = None):
-        from pacmann_tpu.ops.xor_scan import xor_scan_xla
+        from pacmann_tpu.ops.xor_scan import xor_scan_parts
 
         t0 = time.perf_counter()
         self.finished_batch_num = 0
@@ -260,10 +270,8 @@ class DevicePianoEngine:
         table = jnp.stack(tables)                       # (P, T, S)
 
         # 2) fused parity generation (pir.go:303-343)
-        part_base = (jnp.arange(P, dtype=jnp.uint32) * np.uint32(C))
-        glob_off = (table + part_base[:, None, None]).reshape(P * T, S)
-        skip = _build_skip(P, T, Hp, R, S)
-        parities = xor_scan_xla(self.db, glob_off, skip, self.k)
+        skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
+        parities = xor_scan_parts(self.db, table, skip, self.k)
         parities = parities.reshape(P, T, self.Ep)
 
         # 3) replacements, gathered on device (pir.go:345-349)
@@ -272,19 +280,12 @@ class DevicePianoEngine:
             & np.uint64(p.chunk_mask)).astype(np.uint32)
         repl_idx = repl_off + (
             np.arange(S, dtype=np.uint32) * C)[None, :, None]
-        s_ix = np.broadcast_to(
-            np.arange(S, dtype=np.int32)[None, :, None], (P, S, R))
-        row_base = ((repl_off.astype(np.int32)
-                     + np.arange(P, dtype=np.int32)[:, None, None] * C)
-                    * self.k)
-        flat_s = jnp.asarray(s_ix.reshape(-1))
-        flat_row = jnp.asarray(row_base.reshape(-1))
         repl_val = _gather_repl(
-            self.db, flat_s, flat_row, k=self.k, Ep=self.Ep).reshape(
-            P, S, R, self.Ep)
+            self.db, jnp.asarray(repl_off), k=self.k, Ep=self.Ep)
 
         self.state = dict(
             table=table,
+            table_t=jnp.swapaxes(table, 1, 2).copy(),  # (P, S, T) hit-scan view
             tag=jnp.broadcast_to(
                 jnp.arange(Hp, dtype=jnp.int32)[None, :], (P, Hp)).copy(),
             prog=jnp.full((P, Hp), DEFAULT_PROGRAM_POINT, jnp.uint32),
@@ -313,6 +314,7 @@ class DevicePianoEngine:
         T = Hp + S * R
         self.state = dict(
             table=jnp.zeros((P, T, S), jnp.uint32),
+            table_t=jnp.zeros((P, S, T), jnp.uint32),
             tag=jnp.broadcast_to(
                 jnp.arange(Hp, dtype=jnp.int32)[None, :], (P, Hp)).copy(),
             prog=jnp.full((P, Hp), DEFAULT_PROGRAM_POINT, jnp.uint32),
@@ -327,6 +329,15 @@ class DevicePianoEngine:
         self._record_stats(0.0)
 
     # -- online --------------------------------------------------------------
+
+    def _online(self, idx_q, rand_offs):
+        """One jitted batch step; ShardedPianoEngine overrides this."""
+        p = self.params
+        return _online_step(
+            self.db, self.state, idx_q, rand_offs,
+            C=p.chunk_size, R=p.max_query_per_chunk,
+            Hp=p.primary_hint_num, S=p.set_size, k=self.k,
+            max_q=p.max_query_num, dpp=DEFAULT_PROGRAM_POINT)
 
     def query(self, ids) -> np.ndarray:
         """Reference batch contract (batch-pir.go:170-248): FCFS quota of
@@ -360,11 +371,7 @@ class DevicePianoEngine:
             rand_offs = (self._rng.integers(
                 0, 2**32, size=(quota, P, p.set_size), dtype=np.uint64)
                 & np.uint64(p.chunk_mask)).astype(np.uint32)
-            self.state, entries, oks = _online_step(
-                self.db, self.state, idx_q, rand_offs,
-                C=p.chunk_size, R=p.max_query_per_chunk,
-                Hp=p.primary_hint_num, S=p.set_size, k=self.k,
-                max_q=p.max_query_num, dpp=DEFAULT_PROGRAM_POINT)
+            self.state, entries, oks = self._online(idx_q, rand_offs)
             entries = np.asarray(entries)[:, :, :E]       # (Q, P, E)
             oks = np.asarray(oks)
             for j in range(quota):

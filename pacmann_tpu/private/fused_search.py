@@ -128,8 +128,8 @@ def _fused_search(db, pir_state, queries, start_ids, start_vecs, start_nbrs,
         def pir_round(pc, inp):
             iq, rq = inp
             pc, entry, ok = _pir_substep(
-                db, pir_state["table"], pir_state["repl_idx"],
-                pir_state["repl_val"], bpar, pc, iq, rq,
+                db, pir_state["table"], pir_state["table_t"],
+                pir_state["repl_idx"], pir_state["repl_val"], bpar, pc, iq, rq,
                 C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
             return pc, (entry, ok)
 
