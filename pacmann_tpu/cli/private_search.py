@@ -42,6 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="batch PIR engine (fused = one device scan per batch)")
     p.add_argument("-concurrent", type=int, default=1,
                    help="queries advanced in lockstep per oracle batch")
+    p.add_argument("-profile", default="", help="JAX profiler trace dir")
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-verbose", action="store_true")
     return p
@@ -57,7 +58,7 @@ def main(argv=None) -> int:
         benchmarking=args.benchmark, rtt_ms=args.rtt,
         non_private=args.nonprivate, failure_prob_log2=args.fail,
         device=args.device, engine=args.engine, concurrent=args.concurrent,
-        seed=args.seed, verbose=args.verbose,
+        profile_dir=args.profile, seed=args.seed, verbose=args.verbose,
     )
     res = run_private_search(cfg)
     print(res.report.render())

@@ -108,6 +108,21 @@ def xor_gather_parts(db4, offsets, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def xor_gather_multi(db4, offsets, k: int):
+    """Partition-major flat-gather XOR for Q sub-queries per partition:
+    db4 (S, P, C*k, 128), offsets (Q, P, S) u32 -> (Q, P, k, 128).
+    One gather + XOR-reduce; working set Q*P*S*k*512 bytes."""
+    Q, P, S = offsets.shape
+    rows = (jnp.transpose(offsets, (2, 1, 0)).astype(jnp.int32)[:, :, :, None]
+            * k + jnp.arange(k, dtype=jnp.int32))        # (S, P, Q, k)
+    g = jnp.take_along_axis(
+        db4, rows.reshape(S, P, Q * k)[..., None], axis=2)  # (S, P, Q*k, 128)
+    g = g.reshape(S, P, Q, k, 128)
+    red = jax.lax.reduce(g, jnp.uint32(0), jax.lax.bitwise_xor, (0,))
+    return jnp.moveaxis(red, 0, 1)                        # (Q, P, k, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def xor_scan_parts(db4, offsets, skip, k: int):
     """Partition-major chunk-streaming XOR scan (hint generation):
     db4 (S, P, C*k, 128); offsets (P, B, S) u32; skip (P, B, S) bool.

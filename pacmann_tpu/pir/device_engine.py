@@ -79,88 +79,114 @@ def _build_skip(P: int, T: int, Hp: int, R: int, S: int):
     return (t >= Hp) & (s == grp)
 
 
-def _pir_substep(db, table, table_t, repl_idx, repl_val, bpar, carry, idx, rnd,
-                 *, C, R, Hp, S, k, max_q, dpp):
-    """Serve ONE sub-query in every partition simultaneously.
+def _pir_batch(db, table, table_t, repl_idx, repl_val, bpar, carry,
+               idx_q, rnd_q, *, C, R, Hp, S, k, max_q, dpp):
+    """Serve Q sub-queries per partition as a TWO-PHASE batched program.
 
-    carry = (tag, prog, ppar, hist, finished); idx (P,) i32 local indices
-    (-1 = dummy); rnd (P, S) u32 dummy offsets. Returns (carry', entry
-    (P, k*128), ok (P,)). The full protocol round: hit scan (pir.go:404-419),
-    set expansion + programmed point (pir.go:422-433), replacement
-    (pir.go:436-439), server XOR scan (pir.go:65-88), unmask + refresh
-    (pir.go:451-468)."""
-    from pacmann_tpu.ops.xor_scan import xor_gather_parts
+    Per-round device work must not pay one deep op-chain per round (the
+    naive lax.scan over Q spends ~1 ms of op overhead per round). Instead:
+
+      Phase A — a lax.scan over Q touching ONLY the tiny selection state:
+        hit scan (pir.go:404-419) with in-flight reservations (taken slots,
+        pending per-chunk histogram, pending budget) so later rounds see
+        earlier rounds' consumption — the sequential protocol's atomicity,
+        carried by booleans instead of 100 MB parity arrays.
+      Phase B — everything heavy, vectorized over all (Q, P) rounds in
+        single ops: set expansion + programmed points (pir.go:422-433),
+        replacements (pir.go:436-439), ONE fused server XOR gather
+        (pir.go:65-88), unmask (pir.go:451-453).
+      Phase C — hint refresh (pir.go:460-468) as single masked scatters;
+        the reserved slots are unique per partition, so all Q rounds'
+        writes commute.
+
+    carry = (tag, prog, ppar, hist, finished); idx_q (Q, P) i32 local
+    indices (-1 = dummy); rnd_q (Q, P, S) u32 dummy offsets.
+    Returns (carry', entries (Q, P, k*128), ok (Q, P)).
+
+    Declared deviation from the strictly sequential reference: a round
+    never selects a hint slot refreshed by an earlier round of the same
+    batch (the reservation excludes it). With thousands of slots per
+    partition this changes the hit distribution negligibly and only ever
+    reduces reuse; the failure bound is unaffected.
+    """
+    from pacmann_tpu.ops.xor_scan import xor_gather_multi
 
     tag, prog, ppar, hist, finished = carry
-    P = idx.shape[0]
+    Q, P = idx_q.shape
     Ep = k * 128
 
-    real = idx >= 0
-    idx_u = jnp.where(real, idx, 0).astype(jnp.uint32)
-    chunk = (idx_u // C).astype(jnp.int32)           # (P,)
-    off = idx_u % C                                  # (P,) u32
+    real_q = idx_q >= 0
+    idxu_q = jnp.where(real_q, idx_q, 0).astype(jnp.uint32)
+    chunk_q = (idxu_q // C).astype(jnp.int32)          # (Q, P)
+    off_q = idxu_q % C                                 # (Q, P) u32
 
-    # hit scan: PRF column for each partition's query chunk. table_t is the
-    # (P, S, T) transpose so this is a contiguous row read, not a stride-S
-    # gather across the whole table.
-    col = jnp.take_along_axis(
-        table_t, chunk[:, None, None], axis=1)[:, 0, :]  # (P, T)
-    col_tag = jnp.take_along_axis(col, tag, axis=1)   # (P, Hp)
-    prog_set = prog != dpp
+    prog_set = prog != dpp                             # (P, Hp)
     prog_chunk = (prog // C).astype(jnp.int32)
-    elig = (col_tag == off[:, None]) & (
-        ~prog_set | (prog_chunk != chunk[:, None]))
-    elig &= real[:, None]
-    hit = jnp.argmax(elig, axis=1)                    # first True (P,)
-    found = jnp.any(elig, axis=1)
 
-    # budget (pir.go:386-400)
-    ig = jnp.take_along_axis(hist, chunk[:, None], axis=1)[:, 0]  # (P,)
-    ok = real & found & (ig < R) & (finished < max_q)
+    # ---- Phase A: slot selection scan (tiny state only)
+    def select(avail, inp):
+        taken, pend_hist, pend_fin = avail
+        chunk, off, real = inp                         # (P,), (P,), (P,)
+        col = jnp.take_along_axis(
+            table_t, chunk[:, None, None], axis=1)[:, 0, :]   # (P, T)
+        col_tag = jnp.take_along_axis(col, tag, axis=1)       # (P, Hp)
+        elig = (col_tag == off[:, None]) & (
+            ~prog_set | (prog_chunk != chunk[:, None]))
+        elig &= real[:, None] & ~taken
+        hit = jnp.argmax(elig, axis=1)
+        found = jnp.any(elig, axis=1)
+        ig = (jnp.take_along_axis(hist, chunk[:, None], axis=1)[:, 0]
+              + jnp.take_along_axis(pend_hist, chunk[:, None], axis=1)[:, 0])
+        ok = real & found & (ig < R) & (finished + pend_fin < max_q)
+        rows = jnp.arange(P)
+        taken = taken.at[rows, hit].max(ok)
+        pend_hist = pend_hist.at[rows, chunk].add(ok.astype(pend_hist.dtype))
+        pend_fin = pend_fin + ok.astype(pend_fin.dtype)
+        return (taken, pend_hist, pend_fin), (hit, ok, ig)
 
-    # set expansion (pir.go:422-427)
-    hit_tag = jnp.take_along_axis(tag, hit[:, None], axis=1)[:, 0]
-    qs = jnp.take_along_axis(
-        table, hit_tag[:, None, None].astype(jnp.int32),
-        axis=1)[:, 0, :]                              # (P, S) u32
-    # programmed point (pir.go:430-433)
-    hp = jnp.take_along_axis(prog, hit[:, None], axis=1)[:, 0]
+    avail0 = (jnp.zeros((P, Hp), bool), jnp.zeros_like(hist),
+              jnp.zeros_like(finished))
+    _, (hit_q, ok_q, ig_q) = jax.lax.scan(
+        select, avail0, (chunk_q, off_q, real_q))
+    ig_q = ig_q.astype(jnp.int32)
+
+    # ---- Phase B: heavy work, one op per stage over all (Q, P) rounds
+    p_ix = jnp.arange(P)[None, :]
+    hit_tag = tag[p_ix, hit_q]                           # (Q, P)
+    qs = table[p_ix, hit_tag.astype(jnp.int32)]          # (Q, P, S)
+    hp = prog[p_ix, hit_q]                               # (Q, P)
     hp_set = hp != dpp
-    s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+    s_iota = jnp.arange(S, dtype=jnp.int32)[None, None, :]
     qs = jnp.where(
-        (s_iota == (hp // C).astype(jnp.int32)[:, None]) & hp_set[:, None],
-        (hp % C)[:, None], qs)
-    # replacement (pir.go:436-439)
-    r_idx = repl_idx[jnp.arange(P), chunk, ig.astype(jnp.int32)]
-    qs = jnp.where(s_iota == chunk[:, None], (r_idx % C)[:, None], qs)
-
+        (s_iota == (hp // C).astype(jnp.int32)[..., None]) & hp_set[..., None],
+        (hp % C)[..., None], qs)
+    r_idx = repl_idx[p_ix, chunk_q, ig_q]                # (Q, P)
+    qs = jnp.where(s_iota == chunk_q[..., None], (r_idx % C)[..., None], qs)
     # dummies keep the fixed access pattern (pir.go:363-371)
-    qs = jnp.where(ok[:, None], qs, rnd)
+    qs = jnp.where(ok_q[..., None], qs, rnd_q)
 
-    # server scan: one row per partition from each chunk (local offsets)
-    resp = xor_gather_parts(db, qs, k).reshape(P, Ep)
+    resp = xor_gather_multi(db, qs, k).reshape(Q, P, Ep)
 
-    # unmask (pir.go:451-453)
-    r_val = repl_val[jnp.arange(P), chunk, ig.astype(jnp.int32)]
-    par = jnp.take_along_axis(ppar, hit[:, None, None], axis=1)[:, 0, :]
-    entry = resp ^ r_val ^ par
-    entry = jnp.where(ok[:, None], entry, 0)
+    r_val = repl_val[p_ix, chunk_q, ig_q]                # (Q, P, Ep)
+    par = ppar[p_ix, hit_q]                              # (Q, P, Ep)
+    entries = jnp.where(ok_q[..., None], resp ^ r_val ^ par, 0)
 
-    # refresh from backup (pir.go:460-468)
-    btag = Hp + chunk * R + ig.astype(jnp.int32)
-    bp = jnp.take_along_axis(bpar, btag[:, None, None] - Hp, axis=1)[:, 0, :]
-    new_par = bp ^ entry
-    rows = jnp.arange(P)
-    old_par = jnp.take_along_axis(ppar, hit[:, None, None], axis=1)[:, 0, :]
-    ppar = ppar.at[rows, hit].set(jnp.where(ok[:, None], new_par, old_par))
-    tag = tag.at[rows, hit].set(
-        jnp.where(ok, btag, jnp.take_along_axis(tag, hit[:, None], axis=1)[:, 0]))
-    prog = prog.at[rows, hit].set(
-        jnp.where(ok, idx_u, jnp.take_along_axis(prog, hit[:, None], axis=1)[:, 0]))
-    hist = hist.at[rows, chunk].add(ok.astype(hist.dtype))
-    finished = finished + ok.astype(finished.dtype)
+    # ---- Phase C: refresh scatters (slots unique per partition)
+    btag = Hp + chunk_q * R + ig_q                       # (Q, P)
+    bp = bpar[p_ix, btag - Hp]
+    new_par = bp ^ entries
+    # masked scatter: failed rounds write out-of-bounds -> dropped
+    hit_w = jnp.where(ok_q, hit_q, Hp)
+    pf = jnp.broadcast_to(p_ix, (Q, P)).reshape(-1)
+    hw = hit_w.reshape(-1)
+    ppar = ppar.at[pf, hw].set(new_par.reshape(Q * P, Ep), mode="drop")
+    tag = tag.at[pf, hw].set(btag.reshape(-1), mode="drop")
+    prog = prog.at[pf, hw].set(idxu_q.reshape(-1), mode="drop")
+    hist = hist.at[pf, jnp.where(ok_q, chunk_q, S).reshape(-1)].add(
+        1, mode="drop")
+    finished = finished + jnp.sum(ok_q, axis=0, dtype=finished.dtype)
 
-    return (tag, prog, ppar, hist, finished), entry, ok
+    return (tag, prog, ppar, hist, finished), entries, ok_q
 
 
 def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
@@ -168,19 +194,12 @@ def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
     (Q, P, S) u32 dummy offsets. Returns (state', entries (Q, P, k*128),
     ok (Q, P)). Pure per-partition compute — shard_map-able on the
     partition axis with zero collectives."""
-    bpar = state["backup_parity"]  # read-only in the scan: keep out of carry
-
-    def step(carry, inp):
-        idx, rnd = inp
-        carry, entry, ok = _pir_substep(
-            db, state["table"], state["table_t"], state["repl_idx"],
-            state["repl_val"], bpar, carry, idx, rnd,
-            C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
-        return carry, (entry, ok)
-
     carry = (state["tag"], state["prog"], state["primary_parity"],
              state["hist"], state["finished"])
-    carry, (entries, oks) = jax.lax.scan(step, carry, (idx_q, rand_offs))
+    carry, entries, oks = _pir_batch(
+        db, state["table"], state["table_t"], state["repl_idx"],
+        state["repl_val"], state["backup_parity"], carry, idx_q, rand_offs,
+        C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
     tag, prog, ppar, hist, finished = carry
     new_state = dict(state, tag=tag, prog=prog, primary_parity=ppar,
                      hist=hist, finished=finished)

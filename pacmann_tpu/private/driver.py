@@ -13,6 +13,7 @@ import dataclasses
 import os
 import time
 
+import jax
 import numpy as np
 
 from pacmann_tpu.graph.beam_host import BeamSearcher
@@ -64,6 +65,7 @@ class PrivateSearchConfig:
     engine: str = "fused"       # "simple" | "fused" | "device" | "device-fused"
     concurrent: int = 1         # queries advanced in lockstep per oracle batch
     build_graph: bool = True    # build a real graph when no graph file
+    profile_dir: str = ""       # write a JAX profiler trace of the query loop
     seed: int = 0
     verbose: bool = False
 
@@ -124,6 +126,11 @@ def run_private_search(cfg: PrivateSearchConfig,
         queries = queries if queries is not None else q2
     assert graph is not None
 
+    import contextlib
+
+    profile_cm = (jax.profiler.trace(cfg.profile_dir)
+                  if cfg.profile_dir else contextlib.nullcontext())
+
     fused_mode = cfg.engine == "device-fused" and not cfg.non_private
     oracle = PIRGraphOracle(
         vectors, graph,
@@ -163,15 +170,17 @@ def run_private_search(cfg: PrivateSearchConfig,
                   seed=cfg.seed)
         oracle.pir.preprocessing()  # fresh budget after the warm-up burn
         t0 = time.perf_counter()
-        for i in range(0, cfg.q, group):
-            j = min(i + group, cfg.q)
-            g = queries[i:j]
-            if g.shape[0] < group:  # pad to the compiled shape
-                g = np.concatenate(
-                    [g, np.zeros((group - g.shape[0], cfg.dim), np.float32)])
-            out = fs.search(g, cfg.k, cfg.max_step, cfg.parallel,
-                            seed=cfg.seed + 1 + i)
-            answers[i:j] = out[: j - i]
+        with profile_cm:
+            for i in range(0, cfg.q, group):
+                j = min(i + group, cfg.q)
+                g = queries[i:j]
+                if g.shape[0] < group:  # pad to the compiled shape
+                    g = np.concatenate(
+                        [g, np.zeros((group - g.shape[0], cfg.dim),
+                                     np.float32)])
+                out = fs.search(g, cfg.k, cfg.max_step, cfg.parallel,
+                                seed=cfg.seed + 1 + i)
+                answers[i:j] = out[: j - i]
         search_time = time.perf_counter() - t0
         avg_time = search_time / max(cfg.q, 1)
         return _finalize(cfg, oracle, answers, steps, avg_time, 0.0,

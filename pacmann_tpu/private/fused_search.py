@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pacmann_tpu.pir.device_engine import DevicePianoEngine, _pir_substep
+from pacmann_tpu.pir.device_engine import DevicePianoEngine, _pir_batch
 from pacmann_tpu.pir.params import DEFAULT_PROGRAM_POINT
 
 NEG_ID = jnp.int32(-1)
@@ -121,20 +121,15 @@ def _fused_search(db, pir_state, queries, start_ids, start_vecs, start_nbrs,
         buf = buf.at[slot].set(jnp.where(keep, local, -1))
         idx_q = buf[: quota * P].reshape(quota, P)
 
-        # 3. PIR inner protocol rounds
+        # 3. PIR protocol rounds — two-phase batched program (_pir_batch)
         # chunk_size is a power of two, so masking random bits is unbiased
         rnd = jax.random.bits(rk2, (quota, P, S), jnp.uint32) % np.uint32(C)
 
-        def pir_round(pc, inp):
-            iq, rq = inp
-            pc, entry, ok = _pir_substep(
-                db, pir_state["table"], pir_state["table_t"],
-                pir_state["repl_idx"], pir_state["repl_val"], bpar, pc, iq, rq,
-                C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
-            return pc, (entry, ok)
-
-        pir_carry, (entries, oks) = jax.lax.scan(
-            pir_round, pir_carry, (idx_q, rnd))
+        pir_carry, entries, oks = _pir_batch(
+            db, pir_state["table"], pir_state["table_t"],
+            pir_state["repl_idx"], pir_state["repl_val"], bpar,
+            pir_carry, idx_q, rnd,
+            C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
         entries_flat = jnp.concatenate(
             [entries.reshape(quota * P, Ep),
              jnp.zeros((1, Ep), jnp.uint32)])
