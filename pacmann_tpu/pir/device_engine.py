@@ -79,7 +79,7 @@ def _build_skip(P: int, T: int, Hp: int, R: int, S: int):
     return (t >= Hp) & (s == grp)
 
 
-def _pir_batch(db, table, table_t, repl_idx, repl_val, bpar, carry,
+def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
                idx_q, rnd_q, *, C, R, Hp, S, k, max_q, dpp):
     """Serve Q sub-queries per partition as a TWO-PHASE batched program.
 
@@ -99,9 +99,15 @@ def _pir_batch(db, table, table_t, repl_idx, repl_val, bpar, carry,
         the reserved slots are unique per partition, so all Q rounds'
         writes commute.
 
-    carry = (tag, prog, ppar, hist, finished); idx_q (Q, P) i32 local
-    indices (-1 = dummy); rnd_q (Q, P, S) u32 dummy offsets.
+    carry = (tag, prog, ppar, slot_col, hist, finished); idx_q (Q, P) i32
+    local indices (-1 = dummy); rnd_q (Q, P, S) u32 dummy offsets.
     Returns (carry', entries (Q, P, k*128), ok (Q, P)).
+
+    slot_col (P, S, Hp) caches PRF(tag_of_slot, chunk) for every primary
+    slot — the hit scan reads one contiguous (P, Hp) sheet per round
+    instead of a lane-indexed gather over the tag table (the profiled
+    bottleneck: minor-dim gathers cost ~600 us on TPU). Refreshed slots'
+    columns are rewritten once per batch in Phase C.
 
     Declared deviation from the strictly sequential reference: a round
     never selects a hint slot refreshed by an earlier round of the same
@@ -111,7 +117,7 @@ def _pir_batch(db, table, table_t, repl_idx, repl_val, bpar, carry,
     """
     from pacmann_tpu.ops.xor_scan import xor_gather_multi
 
-    tag, prog, ppar, hist, finished = carry
+    tag, prog, ppar, slot_col, hist, finished = carry
     Q, P = idx_q.shape
     Ep = k * 128
 
@@ -127,9 +133,8 @@ def _pir_batch(db, table, table_t, repl_idx, repl_val, bpar, carry,
     def select(avail, inp):
         taken, pend_hist, pend_fin = avail
         chunk, off, real = inp                         # (P,), (P,), (P,)
-        col = jnp.take_along_axis(
-            table_t, chunk[:, None, None], axis=1)[:, 0, :]   # (P, T)
-        col_tag = jnp.take_along_axis(col, tag, axis=1)       # (P, Hp)
+        col_tag = jnp.take_along_axis(
+            slot_col, chunk[:, None, None], axis=1)[:, 0, :]  # (P, Hp)
         elig = (col_tag == off[:, None]) & (
             ~prog_set | (prog_chunk != chunk[:, None]))
         elig &= real[:, None] & ~taken
@@ -182,11 +187,16 @@ def _pir_batch(db, table, table_t, repl_idx, repl_val, bpar, carry,
     ppar = ppar.at[pf, hw].set(new_par.reshape(Q * P, Ep), mode="drop")
     tag = tag.at[pf, hw].set(btag.reshape(-1), mode="drop")
     prog = prog.at[pf, hw].set(idxu_q.reshape(-1), mode="drop")
+    # refresh the cached PRF columns of the consumed slots
+    new_col = table[p_ix, btag]                          # (Q, P, S)
+    slot_col = slot_col.at[
+        pf[:, None], jnp.arange(S)[None, :], hw[:, None]
+    ].set(new_col.reshape(Q * P, S), mode="drop")
     hist = hist.at[pf, jnp.where(ok_q, chunk_q, S).reshape(-1)].add(
         1, mode="drop")
     finished = finished + jnp.sum(ok_q, axis=0, dtype=finished.dtype)
 
-    return (tag, prog, ppar, hist, finished), entries, ok_q
+    return (tag, prog, ppar, slot_col, hist, finished), entries, ok_q
 
 
 def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
@@ -195,14 +205,14 @@ def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
     ok (Q, P)). Pure per-partition compute — shard_map-able on the
     partition axis with zero collectives."""
     carry = (state["tag"], state["prog"], state["primary_parity"],
-             state["hist"], state["finished"])
+             state["slot_col"], state["hist"], state["finished"])
     carry, entries, oks = _pir_batch(
-        db, state["table"], state["table_t"], state["repl_idx"],
+        db, state["table"], state["repl_idx"],
         state["repl_val"], state["backup_parity"], carry, idx_q, rand_offs,
         C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
-    tag, prog, ppar, hist, finished = carry
+    tag, prog, ppar, slot_col, hist, finished = carry
     new_state = dict(state, tag=tag, prog=prog, primary_parity=ppar,
-                     hist=hist, finished=finished)
+                     slot_col=slot_col, hist=hist, finished=finished)
     return new_state, entries, oks
 
 
@@ -304,7 +314,8 @@ class DevicePianoEngine:
 
         self.state = dict(
             table=table,
-            table_t=jnp.swapaxes(table, 1, 2).copy(),  # (P, S, T) hit-scan view
+            # cached PRF column per primary slot (initial tags are 0..Hp-1)
+            slot_col=jnp.swapaxes(table[:, :Hp, :], 1, 2).copy(),  # (P, S, Hp)
             tag=jnp.broadcast_to(
                 jnp.arange(Hp, dtype=jnp.int32)[None, :], (P, Hp)).copy(),
             prog=jnp.full((P, Hp), DEFAULT_PROGRAM_POINT, jnp.uint32),
@@ -333,7 +344,7 @@ class DevicePianoEngine:
         T = Hp + S * R
         self.state = dict(
             table=jnp.zeros((P, T, S), jnp.uint32),
-            table_t=jnp.zeros((P, S, T), jnp.uint32),
+            slot_col=jnp.zeros((P, S, Hp), jnp.uint32),
             tag=jnp.broadcast_to(
                 jnp.arange(Hp, dtype=jnp.int32)[None, :], (P, Hp)).copy(),
             prog=jnp.full((P, Hp), DEFAULT_PROGRAM_POINT, jnp.uint32),

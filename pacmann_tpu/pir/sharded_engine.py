@@ -49,7 +49,7 @@ class ShardedPianoEngine(DevicePianoEngine):
             self.db, NamedSharding(mesh, P_(None, AXIS, None, None)))
         self._state_sharding = {
             "table": P_(AXIS, None, None),
-            "table_t": P_(AXIS, None, None),
+            "slot_col": P_(AXIS, None, None),
             "tag": P_(AXIS, None),
             "prog": P_(AXIS, None),
             "primary_parity": P_(AXIS, None, None),

@@ -126,7 +126,7 @@ def _fused_search(db, pir_state, queries, start_ids, start_vecs, start_nbrs,
         rnd = jax.random.bits(rk2, (quota, P, S), jnp.uint32) % np.uint32(C)
 
         pir_carry, entries, oks = _pir_batch(
-            db, pir_state["table"], pir_state["table_t"],
+            db, pir_state["table"],
             pir_state["repl_idx"], pir_state["repl_val"], bpar,
             pir_carry, idx_q, rnd,
             C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
@@ -173,16 +173,16 @@ def _fused_search(db, pir_state, queries, start_ids, start_vecs, start_nbrs,
         return (ids, dist, nbrs, explored, pir_carry), None
 
     pir_carry = (pir_state["tag"], pir_state["prog"],
-                 pir_state["primary_parity"], pir_state["hist"],
-                 pir_state["finished"])
+                 pir_state["primary_parity"], pir_state["slot_col"],
+                 pir_state["hist"], pir_state["finished"])
     keys = jax.random.split(key, max_step)
     steps = jnp.arange(max_step, dtype=jnp.int32)
     (ids, dist, nbrs, explored, pir_carry), _ = jax.lax.scan(
         step_fn, (ids, dist, nbrs, explored, pir_carry), (steps, keys))
 
-    tag, prog, ppar, hist, finished = pir_carry
+    tag, prog, ppar, slot_col, hist, finished = pir_carry
     new_state = dict(pir_state, tag=tag, prog=prog, primary_parity=ppar,
-                     hist=hist, finished=finished)
+                     slot_col=slot_col, hist=hist, finished=finished)
 
     negd, slot = jax.lax.top_k(-dist, topk)
     out_ids = jnp.where(
