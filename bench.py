@@ -29,13 +29,18 @@ import numpy as np
 REFERENCE_HINTGEN_S = 2.64  # private-search-report.txt:14
 
 
-def synth_raw(n: int, entry_u32: int, seed: int = 0) -> np.ndarray:
+def synth_raw(n: int, entry_u32: int, seed: int = 0,
+              float_cols: int = 0) -> np.ndarray:
     """Fast synthetic DB: tile one random megablock, then make rows unique.
     (Content is irrelevant to timing; uniqueness keeps correctness checks
-    meaningful.)"""
+    meaningful.) The first `float_cols` words carry valid f32 bit patterns
+    so vector decoding yields finite distances."""
     rng = np.random.default_rng(seed)
     block = 1 << 14
     base = rng.integers(0, 2**32, size=(block, entry_u32), dtype=np.uint32)
+    if float_cols:
+        base[:, :float_cols] = np.ascontiguousarray(
+            rng.random((block, float_cols), dtype=np.float32)).view("<u4")
     reps = (n + block - 1) // block
     raw = np.tile(base, (reps, 1))[:n]
     raw[:, 0] = np.arange(n, dtype=np.uint32)  # distinct entries
@@ -54,7 +59,7 @@ def main() -> int:
 
     from pacmann_tpu.pir.device_engine import DevicePianoEngine
 
-    raw = synth_raw(n, entry_bytes // 4)
+    raw = synth_raw(n, entry_bytes // 4, float_cols=dim)
     pir = DevicePianoEngine(n, entry_bytes, batch, raw, 8)
     jax.block_until_ready(pir.db)
 
@@ -79,6 +84,23 @@ def main() -> int:
             ok += int(np.array_equal(out[r], raw[idx]))
     online_ms = (time.perf_counter() - t1) / iters * 1000
 
+    # fused end-to-end private query: the full 20-step beam+PIR search as
+    # one device program (reference compute baseline: 55.9 ms/query)
+    from pacmann_tpu.private.fused_search import FusedPrivateSearch
+
+    graph = raw[:, dim : dim + m].astype(np.int64) % n
+    sids = rng.choice(n, min(1000, int(np.sqrt(n))), replace=False)
+    svecs = np.ascontiguousarray(raw[sids, :dim]).view("<f4")
+    fs = FusedPrivateSearch(pir, sids, svecs, graph[sids], dim=dim, m=m, n=n)
+    queries = rng.random((1, dim), dtype=np.float32)
+    fs.search(queries, k=10, max_step=20, parallel=3, seed=9)  # compile
+    fq = []
+    for rep in range(3):
+        t2 = time.perf_counter()
+        fs.search(queries, k=10, max_step=20, parallel=3, seed=10 + rep)
+        fq.append(time.perf_counter() - t2)
+    fused_query_ms = min(fq) * 1000
+
     db_gb = n * entry_bytes / 1e9
     scale = n / 1_000_000.0
     vs = REFERENCE_HINTGEN_S * scale / t
@@ -95,6 +117,8 @@ def main() -> int:
             "db_gbps": round(db_gb / t, 3),
             "online_ms_per_batch96": round(online_ms, 2),
             "online_success_rate": round(ok / max(tot, 1), 4),
+            "fused_private_query_ms": round(fused_query_ms, 2),
+            "reference_query_compute_ms": 55.9,
             "platform": jax.devices()[0].platform,
             "reference_s": REFERENCE_HINTGEN_S,
         },

@@ -1,1 +1,3 @@
-from pacmann_tpu.ops import aes, aes_host, bitops, gf2  # noqa: F401
+"""TPU compute kernels: distance, bitsliced AES PRF, XOR parity scans."""
+
+from pacmann_tpu.ops.distance import inner_product_xla, l2_distance  # noqa: F401

@@ -14,16 +14,13 @@ Here the ENTIRE client+server state lives on device:
        — parities never leave HBM;
     3. replacement values gathered from the DB on device (pir.go:345-349).
 
-  online (_step, one jitted call per batch):
-    lax.scan over the per-partition quota Q; each scan step serves one
-    sub-query in EVERY partition simultaneously:
-      hit scan over the tag table (pir.go:404-419)  -> vectorized gathers
-      set expansion + programmed point (pir.go:422-433)
-      replacement substitution (pir.go:436-439)
-      server XOR scan (pir.go:65-88)                -> shared chunk stream
-      unmask + hint refresh from backup (pir.go:451-468) -> masked scatters
-    Scanning over Q reproduces the sequential reference's per-query
-    atomicity (later sub-queries see earlier refreshes) with no host logic.
+  online (_pir_batch, one jitted call per batch):
+    a two-phase program serving Q sub-queries per partition — a lightweight
+    selection scan (hit scan with in-flight reservations) followed by all
+    heavy protocol work (set expansion, replacements, ONE fused server XOR
+    gather, unmask, hint refresh) vectorized over every (Q, P) round.
+    Reservations reproduce the sequential reference's per-query atomicity
+    with no host logic. See _pir_batch for the op-level rationale.
 
 Protocol parity: identical parameter derivation, hint layout, replacement
 and budget semantics per partition. Declared deviation: there is no response

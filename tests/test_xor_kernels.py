@@ -1,0 +1,60 @@
+"""XOR kernel family vs the NumPy oracle: chunk-streaming scan, flat
+gather, and the partition-major variants used by the device engines."""
+
+import numpy as np
+
+from pacmann_tpu.ops.xor_scan import (
+    xor_gather_multi,
+    xor_gather_parts,
+    xor_gather_xla,
+    xor_scan_np,
+    xor_scan_parts,
+    xor_scan_xla,
+)
+
+
+def _mk(rng, S=8, C=16, k=2):
+    return rng.integers(0, 2**32, size=(S, C * k, 128), dtype=np.uint32)
+
+
+def test_gather_matches_scan():
+    rng = np.random.default_rng(0)
+    db = _mk(rng)
+    off = rng.integers(0, 16, size=(12, 8), dtype=np.uint32)
+    skip = rng.random((12, 8)) < 0.3
+    a = np.asarray(xor_scan_xla(db, off, skip, 2))
+    b = np.asarray(xor_gather_xla(db, off, skip, 2))
+    c = xor_scan_np(db, off, skip, 2)
+    assert np.array_equal(a, c) and np.array_equal(b, c)
+
+
+def test_parts_kernels_match_oracle():
+    rng = np.random.default_rng(1)
+    S, P, C, k = 8, 4, 16, 2
+    db4 = rng.integers(0, 2**32, size=(S, P, C * k, 128), dtype=np.uint32)
+
+    # single sub-query per partition
+    off1 = rng.integers(0, C, size=(P, S), dtype=np.uint32)
+    got1 = np.asarray(xor_gather_parts(db4, off1, k))
+    for p in range(P):
+        want = xor_scan_np(db4[:, p], off1[p][None], np.zeros((1, S), bool), k)[0]
+        assert np.array_equal(got1[p], want), p
+
+    # Q sub-queries per partition
+    Q = 5
+    offq = rng.integers(0, C, size=(Q, P, S), dtype=np.uint32)
+    gotq = np.asarray(xor_gather_multi(db4, offq, k))
+    for q in range(Q):
+        for p in range(P):
+            want = xor_scan_np(
+                db4[:, p], offq[q, p][None], np.zeros((1, S), bool), k)[0]
+            assert np.array_equal(gotq[q, p], want), (q, p)
+
+    # hint-gen scan with skip masks
+    B = 7
+    offb = rng.integers(0, C, size=(P, B, S), dtype=np.uint32)
+    skipb = rng.random((P, B, S)) < 0.25
+    gotb = np.asarray(xor_scan_parts(db4, offb, skipb, k))
+    for p in range(P):
+        want = xor_scan_np(db4[:, p], offb[p], skipb[p], k)
+        assert np.array_equal(gotb[p], want), p
