@@ -65,10 +65,13 @@ def main() -> int:
 
     # warm-up: compile every kernel shape once
     pir.preprocessing(rng=np.random.default_rng(1))
-    # timed hint generation
-    t0 = time.perf_counter()
-    pir.preprocessing(rng=np.random.default_rng(2))
-    t = time.perf_counter() - t0
+    # timed hint generation: min of 3 (tunnel noise)
+    runs = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        pir.preprocessing(rng=np.random.default_rng(2 + i))
+        runs.append(time.perf_counter() - t0)
+    t = min(runs)
 
     # online: batches of 96 (one beam step at parallel=3, m=32), spread ids
     rng = np.random.default_rng(3)

@@ -118,10 +118,12 @@ def _robust_prune_batch(vectors, u_ids, cand_ids, cand_valid, m):
     cand_sorted = jnp.take_along_axis(cand_ids, order, axis=1)
     du_sorted = jnp.take_along_axis(d_u, order, axis=1)
     cv_sorted = jnp.take_along_axis(cv, order[:, :, None], axis=1)
-    # pairwise distances among candidates
-    pd = jnp.sum(
-        (cv_sorted[:, :, None, :] - cv_sorted[:, None, :, :]) ** 2, axis=-1
-    )                                                    # (B, C, C)
+    # pairwise distances among candidates via the MXU dot identity —
+    # materializing the (B, C, C, d) difference tensor OOMs at scale
+    sq = jnp.sum(cv_sorted * cv_sorted, axis=-1)         # (B, C)
+    cross = jnp.einsum("bcd,bed->bce", cv_sorted, cv_sorted,
+                       preferred_element_type=jnp.float32)
+    pd = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * cross, 0.0)
 
     def body(i, carry):
         accepted, n_acc = carry                          # (B, C) bool, (B,)
