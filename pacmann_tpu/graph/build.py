@@ -259,12 +259,40 @@ def _degree_regularize(vectors_dev, graph: np.ndarray, m: int, rng,
     over = np.flatnonzero((conn >= 0).sum(1) > m)
     under = np.flatnonzero((conn >= 0).sum(1) <= m)
 
+    # Hub vertices can have thousands of inbound edges; cap the prune pool
+    # at the CAP nearest candidates first (the greedy alpha-accept for m
+    # slots virtually never reaches past the ~4m closest), otherwise the
+    # (B, C, C) pairwise tensors blow up device memory at scale.
+    CAP = max(4 * m, 64)
+    if conn.shape[1] > CAP and len(over):
+        narrowed = np.full((len(over), CAP), -1, np.int64)
+        # memory-bounded block size for the (B, max_c, d) gather
+        nb = max(256, min(block, (1 << 30) // max(conn.shape[1] * 512, 1)))
+        for b0 in range(0, len(over), nb):
+            ids = over[b0 : b0 + nb]
+            idp = _pad_ids(ids, min(nb, len(over)))
+            cand = conn[idp]
+            cand = np.where(cand >= 0, cand, idp[:, None])  # self = masked
+            sel, dist = _score_and_select(
+                vectors_dev, jnp.asarray(idp), jnp.asarray(cand), CAP)
+            sel = np.asarray(sel).copy()
+            sel[~np.isfinite(np.asarray(dist))] = -1
+            narrowed[b0 : b0 + len(ids)] = sel[: len(ids)]
+        conn_over = narrowed
+    else:
+        conn_over = conn[over] if len(over) else conn[:0]
+
     # over-degree: robust prune down to m (build_graph.go:453-455)
-    blk = min(block, n)
+    C_over = conn_over.shape[1] if len(over) else m
+    blk = max(256, min(block, n, (1 << 30) // max(C_over * C_over * 4, 1)))
     for b0 in range(0, len(over), blk):
         ids = over[b0 : b0 + blk]
-        idp = _pad_ids(ids, blk)
-        cand = conn[idp]
+        idp = _pad_ids(ids, min(blk, len(over)))
+        cand = conn_over[b0 : b0 + blk]
+        if len(cand) < len(idp):
+            cand = np.concatenate(
+                [cand, np.full((len(idp) - len(cand), cand.shape[1]), -1,
+                               np.int64)])
         valid_c = cand >= 0
         res, _ = _robust_prune_batch(
             vectors_dev, jnp.asarray(idp), jnp.asarray(np.maximum(cand, 0)),
