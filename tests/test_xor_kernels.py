@@ -58,3 +58,16 @@ def test_parts_kernels_match_oracle():
     for p in range(P):
         want = xor_scan_np(db4[:, p], offb[p], skipb[p], k)
         assert np.array_equal(gotb[p], want), p
+
+
+def test_pallas_xor_scan_interpret():
+    """Pallas chunk-streaming kernel (interpret mode off-TPU)."""
+    from pacmann_tpu.ops.xor_scan import xor_scan_pallas
+
+    rng = np.random.default_rng(2)
+    db = _mk(rng, S=4, C=8, k=2)
+    off = rng.integers(0, 8, size=(16, 4), dtype=np.uint32)
+    skip = rng.random((16, 4)) < 0.2
+    got = np.asarray(xor_scan_pallas(db, off, skip, 2, block_b=8))
+    want = xor_scan_np(db, off, skip, 2)
+    assert np.array_equal(got, want)
