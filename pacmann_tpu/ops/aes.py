@@ -261,6 +261,52 @@ def _prf_table_on_device(key_masks, T: int, S: int, chunk_mask: int):
     return (out[:n] & jnp.uint32(chunk_mask)).reshape(T, S)
 
 
+def prf_offset_tables_all(keys: list[bytes], T: int, S: int, chunk_mask: int):
+    """All P partitions' offset tables in ONE device program -> (P, T, S).
+
+    The bitsliced circuit is purely plane-wise, so a partition axis rides
+    along for free: state planes become (8, 16, P, L) and each partition's
+    round-key masks broadcast over its own lanes. Collapses the per-partition
+    dispatch round trips (the dominant prep cost over a slow link) to one.
+    On CPU backends falls back to the per-partition host path.
+    """
+    from pacmann_tpu.utils.platform import on_tpu
+
+    P = len(keys)
+    if not on_tpu():
+        return jnp.stack([
+            prf_offset_table_device(k, T, S, chunk_mask) for k in keys])
+    masks = np.stack([expand_key_planes(k) for k in keys])  # (P, 11, 8, 16)
+    return _prf_tables_fused(masks, T, S, chunk_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "S", "chunk_mask"))
+def _prf_tables_fused(masks, T: int, S: int, chunk_mask: int):
+    P = masks.shape[0]
+    n = T * S
+    pad = (n + 255) // 256 * 256
+    L = pad // 32
+    i = jax.lax.broadcasted_iota(jnp.uint32, (pad, 1), 0)[:, 0]
+    tags = i // np.uint32(S)
+    lo = i % np.uint32(S)
+    hi = tags << np.uint32(3)
+    zeros = jnp.zeros_like(lo)
+    S0 = _pack_words([lo, hi, zeros, zeros])            # (8, 16, L)
+    # add the partition axis: (8, 16, P, L); per-partition key masks
+    S0 = jnp.broadcast_to(S0[:, :, None, :], (8, 16, P, L))
+    km = jnp.transpose(masks, (1, 2, 3, 0))[:, :, :, :, None]  # (11,8,16,P,1)
+    St = S0 ^ km[0]
+    for r in range(1, 10):
+        St = _mix_columns(_shift_rows(_sub_bytes(St))) ^ km[r]
+    St = _shift_rows(_sub_bytes(St)) ^ km[10]
+    St = St ^ S0  # MMO feed-forward
+    # unpack word 0 for each partition: (8, 4, P, L) -> per-partition u32
+    blk = St[:, 0:4, :, :]                              # (8, 4, P, L)
+    arr = jnp.transpose(blk, (2, 3, 1, 0)).reshape(P, -1, 32)
+    out = transpose32(arr.reshape(-1, 32)).reshape(P, pad)
+    return (out[:, :n] & jnp.uint32(chunk_mask)).reshape(P, T, S)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _mmo_low32_block(key_masks, lo, hi):
     return _mmo_low32_body(key_masks, lo, hi)
