@@ -145,6 +145,90 @@ def xor_scan_parts(db4, offsets, skip, k: int):
     return acc
 
 
+def _hintgen_kernel(off_ref, skip_ref, db_ref, out_ref, *, k: int, bb: int):
+    """Grid (P, hint-blocks, S), chunks innermost: the parity block stays in
+    VMEM while its partition's chunks stream through. Mosaic's gather needs
+    input/indices/output shapes equal, so the block is sized to the chunk:
+    bb = C entries -> (C*k, 128) gather."""
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    chunk = db_ref[0, 0]                       # (C*k, 128)
+    # extract column s with an equal-shape lane gather (dynamic lane slices
+    # are not expressible in Mosaic); all lanes agree, collapse with max
+    off_blk = off_ref[0]                       # (bb, S)
+    s_mat = jnp.full(off_blk.shape, s, jnp.int32)
+    offs = jnp.max(jnp.take_along_axis(off_blk, s_mat, axis=1), axis=1)
+    skip_blk = skip_ref[0]                     # (bb, S) i32 0/1
+    skp = jnp.max(jnp.take_along_axis(skip_blk, s_mat, axis=1), axis=1)
+
+    # row_mat[i, :] = offs[i//k]*k + i%k, built without sublane reshapes
+    offs_m = jnp.broadcast_to(offs[:, None], (bb, 128))
+    j_pat = jax.lax.broadcasted_iota(jnp.int32, (bb * k, 128), 0) % k
+    row_mat = jnp.repeat(offs_m * k, k, axis=0) + j_pat
+    g = jnp.take_along_axis(chunk, row_mat, axis=0)      # (bb*k, 128)
+    keep_m = jnp.repeat(
+        jnp.broadcast_to(skp[:, None], (bb, 128)), k, axis=0)
+    g = jnp.where(keep_m == 0, g, jnp.uint32(0))
+    out_ref[:] = out_ref[:] ^ g
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _hintgen_pallas_padded(db4, offsets, skip, k, interpret):
+    P, B, S = offsets.shape
+    CK = db4.shape[2]
+    bb = CK // k
+    grid = (P, B // bb, S)
+    kernel = functools.partial(_hintgen_kernel, k=k, bb=bb)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, B * k, 128), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bb, S), lambda p, hb, s: (p, hb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, S), lambda p, hb, s: (p, hb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CK, 128), lambda p, hb, s: (s, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bb * k, 128), lambda p, hb, s: (p, hb, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(offsets, skip, db4)
+    return out.reshape(P, B, k, 128)
+
+
+def xor_hintgen_pallas(db4, offsets, skip, k: int, interpret=None):
+    """Pallas hint-generation scan on the partition-major DB:
+    db4 (S, P, C*k, 128); offsets/skip (P, B, S) -> (P, B, k, 128).
+    Same contract as xor_scan_parts.
+
+    STATUS: correct under the interpreter, but NOT compilable by the current
+    Mosaic toolchain — tpu.dynamic_gather only spans a single vreg (8
+    sublanes), so arbitrary in-VMEM row gathers are inexpressible
+    ("Multiple source vregs along gather dimension"). The production path is
+    xor_scan_parts (XLA's native gather); revisit when Mosaic grows
+    multi-vreg gathers."""
+    if interpret is None:
+        interpret = default_interpret()
+    P, B, S = offsets.shape
+    bb = db4.shape[2] // k
+    Bp = (B + bb - 1) // bb * bb
+    offsets = jnp.asarray(offsets, jnp.int32)
+    skip = jnp.asarray(skip)
+    if Bp != B:
+        offsets = jnp.pad(offsets, ((0, 0), (0, Bp - B), (0, 0)))
+        skip = jnp.pad(skip, ((0, 0), (0, Bp - B), (0, 0)),
+                       constant_values=True)
+    out = _hintgen_pallas_padded(
+        jnp.asarray(db4), offsets, skip.astype(jnp.int32), k, interpret)
+    return out[:, :B]
+
+
 def xor_scan_host(db, offsets, skip, k: int):
     """Host-tier scan: native AVX2 kernel when built, NumPy otherwise."""
     from pacmann_tpu import native_lib
@@ -160,27 +244,31 @@ def xor_scan_host(db, offsets, skip, k: int):
 # double-buffered by the Pallas pipeline.
 
 
-def _xor_kernel(off_ref, skip_ref, db_ref, out_ref, *, k: int, block_b: int):
+def _xor_kernel(off_ref, db_ref, out_ref, *, k: int, block_b: int):
+    """Grid (hint blocks, chunks). The parity block stays resident in VMEM
+    across the whole chunk stream (output revisiting); each grid step gathers
+    this block's rows from the current chunk and XORs them in. Skips ride in
+    the offsets: entries >= C*k address the chunk's zero padding row."""
     s = pl.program_id(1)
 
     @pl.when(s == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    chunk = db_ref[0]                        # (C*k, 128)
-    offs = off_ref[:, 0]                     # (block_b,)
-    rows = (offs[:, None] * k + jnp.arange(k, dtype=jnp.uint32)).reshape(-1)
-    g = jnp.take(chunk, rows.astype(jnp.int32), axis=0)   # (block_b*k, 128)
-    keep = jnp.logical_not(skip_ref[:, 0])
-    keep = jnp.repeat(keep, k)[:, None]
-    g = jnp.where(keep, g, jnp.uint32(0))
+    chunk = db_ref[0]                        # (C*k + pad, 128), tail = zeros
+    offs = off_ref[:, pl.ds(s, 1)][:, 0]     # (block_b,) row-block ids
+    rows = (offs[:, None] * k
+            + jnp.arange(k, dtype=jnp.int32)[None, :]).reshape(-1)
+    g = jnp.take(chunk, rows, axis=0)        # (block_b*k, 128)
     out_ref[:] = out_ref[:] ^ g
 
 
 @functools.partial(
     jax.jit, static_argnames=("k", "block_b", "interpret")
 )
-def _xor_scan_pallas_padded(db, offsets, skip, k, block_b, interpret):
+def _xor_scan_pallas_padded(db, offsets, k, block_b, interpret):
+    """db (S, C*k + k_pad, 128) with a zeroed pad row block at the end;
+    offsets (B, S) i32 row-block ids (skips point at the pad block)."""
     B, S = offsets.shape
     CK = db.shape[1]
     grid = (B // block_b, S)
@@ -190,10 +278,8 @@ def _xor_scan_pallas_padded(db, offsets, skip, k, block_b, interpret):
         out_shape=jax.ShapeDtypeStruct((B * k, 128), jnp.uint32),
         grid=grid,
         in_specs=[
-            # offsets column for this (hint block, chunk)
-            pl.BlockSpec((block_b, 1), lambda hb, s: (hb, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 1), lambda hb, s: (hb, s),
+            # this hint block's full offset row (all chunks)
+            pl.BlockSpec((block_b, S), lambda hb, s: (hb, 0),
                          memory_space=pltpu.VMEM),
             # one chunk, full width
             pl.BlockSpec((1, CK, 128), lambda hb, s: (s, 0, 0),
@@ -202,25 +288,30 @@ def _xor_scan_pallas_padded(db, offsets, skip, k, block_b, interpret):
         out_specs=pl.BlockSpec((block_b * k, 128), lambda hb, s: (hb, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(offsets, skip, db)
+    )(offsets, db)
     return out.reshape(B, k, 128)
 
 
 def xor_scan_pallas(db, offsets, skip, k: int, block_b: int = 2048,
                     interpret=None):
-    """Pallas XOR scan; pads the hint/query axis to a block multiple."""
+    """Pallas XOR scan; pads the hint/query axis to a block multiple and
+    folds the skip mask into the offsets (skipped -> zero pad rows appended
+    to every chunk)."""
     if interpret is None:
         interpret = default_interpret()
     B, S = offsets.shape
+    CK = db.shape[1]
     block_b = min(block_b, max(8, B))
     Bp = (B + block_b - 1) // block_b * block_b
+    # append one zeroed row block per chunk; pad sublanes to a multiple of 8
+    pad_rows = ((CK + k + 7) // 8 * 8) - CK
+    dbp = jnp.pad(jnp.asarray(db), ((0, 0), (0, pad_rows), (0, 0)))
+    off = jnp.asarray(offsets, jnp.int32)
+    off = jnp.where(jnp.asarray(skip), jnp.int32(CK // k), off)
     if Bp != B:
-        offsets = jnp.pad(offsets, ((0, Bp - B), (0, 0)))
-        skip = jnp.pad(skip, ((0, Bp - B), (0, 0)), constant_values=True)
-    out = _xor_scan_pallas_padded(
-        jnp.asarray(db), jnp.asarray(offsets), jnp.asarray(skip),
-        k, block_b, interpret
-    )
+        off = jnp.pad(off, ((0, Bp - B), (0, 0)),
+                      constant_values=CK // k)
+    out = _xor_scan_pallas_padded(dbp, off, k, block_b, interpret)
     return out[:B]
 
 

@@ -71,3 +71,19 @@ def test_pallas_xor_scan_interpret():
     got = np.asarray(xor_scan_pallas(db, off, skip, 2, block_b=8))
     want = xor_scan_np(db, off, skip, 2)
     assert np.array_equal(got, want)
+
+
+def test_pallas_hintgen_interpret():
+    """Partition-major Pallas hint-gen kernel (interpret mode off-TPU)."""
+    from pacmann_tpu.ops.xor_scan import xor_hintgen_pallas
+
+    rng = np.random.default_rng(3)
+    S, P, C, k = 4, 2, 8, 2
+    db4 = rng.integers(0, 2**32, size=(S, P, C * k, 128), dtype=np.uint32)
+    B = 19  # non-multiple of the block -> exercises padding
+    off = rng.integers(0, C, size=(P, B, S), dtype=np.uint32)
+    skip = rng.random((P, B, S)) < 0.25
+    got = np.asarray(xor_hintgen_pallas(db4, off, skip, k))
+    for p in range(P):
+        want = xor_scan_np(db4[:, p], off[p], skip[p], k)
+        assert np.array_equal(got[p], want), p
