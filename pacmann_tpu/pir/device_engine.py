@@ -402,8 +402,9 @@ class DevicePianoEngine:
                 0, 2**32, size=(quota, P, p.set_size), dtype=np.uint64)
                 & np.uint64(p.chunk_mask)).astype(np.uint32)
             self.state, entries, oks = self._online(idx_q, rand_offs)
-            entries = np.asarray(entries)[:, :, :E]       # (Q, P, E)
-            oks = np.asarray(oks)
+            # one device_get round trip for both results
+            entries, oks = jax.device_get((entries, oks))
+            entries = entries[:, :, :E]                   # (Q, P, E)
             for j in range(quota):
                 for i in range(P):
                     g = gidx_q[j, i]
