@@ -27,8 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pacmann_tpu.ops.distance import l2_distance_xla
-
 ALPHA = 1.2  # build_graph.go:357
 
 

@@ -30,7 +30,7 @@ import secrets
 import numpy as np
 
 from pacmann_tpu.ops import aes
-from pacmann_tpu.ops.xor_scan import xor_scan_host, xor_scan_np, xor_scan_xla
+from pacmann_tpu.ops.xor_scan import xor_scan_host, xor_scan_xla
 from pacmann_tpu.pir import layout
 from pacmann_tpu.pir.params import (
     DEFAULT_PROGRAM_POINT,
