@@ -126,31 +126,54 @@ def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
     prog_set = prog != dpp                             # (P, Hp)
     prog_chunk = (prog // C).astype(jnp.int32)
 
-    # ---- Phase A: slot selection scan (tiny state only)
-    def select(avail, inp):
-        taken, pend_hist, pend_fin = avail
-        chunk, off, real = inp                         # (P,), (P,), (P,)
-        col_tag = jnp.take_along_axis(
-            slot_col, chunk[:, None, None], axis=1)[:, 0, :]  # (P, Hp)
-        elig = (col_tag == off[:, None]) & (
-            ~prog_set | (prog_chunk != chunk[:, None]))
-        elig &= real[:, None] & ~taken
-        hit = jnp.argmax(elig, axis=1)
-        found = jnp.any(elig, axis=1)
-        ig = (jnp.take_along_axis(hist, chunk[:, None], axis=1)[:, 0]
-              + jnp.take_along_axis(pend_hist, chunk[:, None], axis=1)[:, 0])
-        ok = real & found & (ig < R) & (finished + pend_fin < max_q)
-        rows = jnp.arange(P)
-        taken = taken.at[rows, hit].max(ok)
-        pend_hist = pend_hist.at[rows, chunk].add(ok.astype(pend_hist.dtype))
-        pend_fin = pend_fin + ok.astype(pend_fin.dtype)
-        return (taken, pend_hist, pend_fin), (hit, ok, ig)
+    # ---- Phase A: fully vectorized slot selection.
+    # Eligibility for ALL rounds at once, then an iterative priority repair:
+    # every unresolved round claims its first eligible slot; when several
+    # rounds of one partition claim the same slot, the earliest round wins
+    # (scatter-min), losers retry against the updated taken-mask. Collisions
+    # require equal (chunk, offset) pairs or tag coincidences, so nearly all
+    # rounds resolve in the first pass; _REPAIR passes bound the worst case
+    # (unresolved leftovers fail like a protocol miss).
+    p_ix2 = jnp.broadcast_to(jnp.arange(P)[None, :], (Q, P))
+    q_ix = jnp.broadcast_to(
+        jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, P))
+    col_all = slot_col[p_ix2, chunk_q]                 # (Q, P, Hp)
+    elig = (col_all == off_q[..., None]) & (
+        ~prog_set[None] | (prog_chunk[None] != chunk_q[..., None]))
+    elig &= real_q[..., None]
 
-    avail0 = (jnp.zeros((P, Hp), bool), jnp.zeros_like(hist),
-              jnp.zeros_like(finished))
-    _, (hit_q, ok_q, ig_q) = jax.lax.scan(
-        select, avail0, (chunk_q, off_q, real_q))
-    ig_q = ig_q.astype(jnp.int32)
+    _REPAIR = 6
+    taken = jnp.zeros((P, Hp), bool)
+    hit_q = jnp.zeros((Q, P), jnp.int32)
+    resolved = jnp.zeros((Q, P), bool)
+    for _ in range(_REPAIR):
+        elig_eff = elig & ~taken[None] & ~resolved[..., None]
+        cand_hit = jnp.argmax(elig_eff, axis=2).astype(jnp.int32)
+        cand_found = jnp.any(elig_eff, axis=2)
+        claim = jnp.full((P, Hp), Q, jnp.int32).at[p_ix2, cand_hit].min(
+            jnp.where(cand_found, q_ix, Q))
+        won = cand_found & (claim[p_ix2, cand_hit] == q_ix)
+        hit_q = jnp.where(won, cand_hit, hit_q)
+        resolved |= won
+        taken = taken.at[p_ix2, cand_hit].max(won)
+    found_q = resolved
+
+    # ---- budgets, assigned by round order (correct-by-construction: a
+    # candidate that fails a budget check still consumes its replacement /
+    # backup group index, so indices are never reused — it only wastes one
+    # consumable, which the sequential reference would have used anyway on
+    # the query it admits instead).
+    chunk_oh = found_q[..., None] & (
+        chunk_q[..., None] == jnp.arange(S, dtype=jnp.int32)[None, None, :])
+    rank_c = jnp.cumsum(chunk_oh, axis=0) - 1          # (Q, P, S)
+    rank_own = jnp.take_along_axis(
+        rank_c, chunk_q[..., None], axis=2)[:, :, 0]
+    hist_own = hist[p_ix2, chunk_q]
+    ig_q = (hist_own + rank_own).astype(jnp.int32)
+    ok_r = found_q & (ig_q < R)
+    rank_p = jnp.cumsum(ok_r, axis=0) - 1              # among chunk-ok per p
+    ok_q = ok_r & (rank_p < (max_q - finished)[None, :])
+    ig_q = jnp.minimum(ig_q, R - 1)                    # clamp for safe gathers
 
     # ---- Phase B: heavy work, one op per stage over all (Q, P) rounds
     p_ix = jnp.arange(P)[None, :]
@@ -189,7 +212,10 @@ def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
     slot_col = slot_col.at[
         pf[:, None], jnp.arange(S)[None, :], hw[:, None]
     ].set(new_col.reshape(Q * P, S), mode="drop")
-    hist = hist.at[pf, jnp.where(ok_q, chunk_q, S).reshape(-1)].add(
+    # burn the group index of every admitted candidate (ok_r), including
+    # rounds later denied by the global budget — their (replacement, backup)
+    # pair is spent-by-assignment and must never be reused
+    hist = hist.at[pf, jnp.where(ok_r, chunk_q, S).reshape(-1)].add(
         1, mode="drop")
     finished = finished + jnp.sum(ok_q, axis=0, dtype=finished.dtype)
 
