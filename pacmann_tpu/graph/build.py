@@ -64,17 +64,19 @@ def _nn_descent_round(vectors_dev, graph: np.ndarray, rng, m: int,
                       block: int) -> np.ndarray:
     n, m_cur = graph.shape
     new_graph = np.empty_like(graph)
-    # reverse-edge sample: for each directed edge u->v, v gets u as candidate
-    rev = np.full((n, n_samples_nbr), -1, np.int64)
-    counts = np.zeros(n, np.int32)
+    # reverse-edge sample: for each directed edge u->v, v gets up to
+    # n_samples_nbr random u's as candidates. Vectorized: sort edges by
+    # target with a random tiebreak, then take each target group's first
+    # n_samples_nbr entries by within-group rank (no per-edge Python loop).
     src = np.repeat(np.arange(n), m_cur)
     dst = graph.reshape(-1)
-    perm = rng.permutation(n * m_cur)
-    for s, t in zip(src[perm], dst[perm]):
-        c = counts[t]
-        if c < n_samples_nbr:
-            rev[t, c] = s
-            counts[t] = c + 1
+    order = np.lexsort((rng.random(n * m_cur), dst))
+    dst_s, src_s = dst[order], src[order]
+    starts = np.searchsorted(dst_s, np.arange(n))
+    rank = np.arange(n * m_cur) - starts[dst_s]
+    sel = rank < n_samples_nbr
+    rev = np.full((n, n_samples_nbr), -1, np.int64)
+    rev[dst_s[sel], rank[sel]] = src_s[sel]
     rev[rev < 0] = rng.integers(0, n, size=int(np.sum(rev < 0)))
 
     for b0 in range(0, n, block):
@@ -238,20 +240,21 @@ def _degree_regularize(vectors_dev, graph: np.ndarray, m: int, rng,
     keep = rng.random(bi_src.shape[0]) < prob
     bi_src, bi_dst = bi_src[keep], bi_dst[keep]
 
-    # per-vertex connection lists (variable length)
-    order = np.argsort(bi_src, kind="stable")
+    # per-vertex connection lists, fully vectorized: sort (src, dst) pairs,
+    # drop duplicate edges and self loops via consecutive-diff masks, then
+    # scatter each vertex's survivors by within-group rank
+    order = np.lexsort((bi_dst, bi_src))
     bi_src, bi_dst = bi_src[order], bi_dst[order]
+    uniq = np.ones(len(bi_src), bool)
+    uniq[1:] = (bi_src[1:] != bi_src[:-1]) | (bi_dst[1:] != bi_dst[:-1])
+    keep_e = uniq & (bi_src != bi_dst)
+    bi_src, bi_dst = bi_src[keep_e], bi_dst[keep_e]
     starts = np.searchsorted(bi_src, np.arange(n))
-    ends = np.searchsorted(bi_src, np.arange(n) + 1)
-    counts = ends - starts
-    max_c = max(int(counts.max()), m)
-
+    rank = np.arange(len(bi_src)) - starts[bi_src]
+    counts = np.bincount(bi_src, minlength=n)
+    max_c = max(int(counts.max()) if len(counts) else m, m)
     conn = np.full((n, max_c), -1, np.int64)
-    for u in range(n):
-        c = bi_dst[starts[u] : ends[u]]
-        c = np.unique(c)
-        c = c[c != u]
-        conn[u, : len(c)] = c
+    conn[bi_src, rank] = bi_dst
 
     out = np.full((n, m), -1, np.int64)
     over = np.flatnonzero((conn >= 0).sum(1) > m)
@@ -300,18 +303,34 @@ def _degree_regularize(vectors_dev, graph: np.ndarray, m: int, rng,
 
     out[under, :] = conn[under, :m]
 
-    # random fill to exactly m (build_graph.go:457-475)
-    for u in np.flatnonzero((out >= 0).sum(1) < m):
+    # random fill to exactly m (build_graph.go:457-475), vectorized:
+    # resample empty slots, invalidate self/duplicates, retry (converges in
+    # a couple of rounds when n >> m); a scalar fallback mops up stragglers
+    need_rows = np.flatnonzero((out >= 0).sum(1) < m)
+    if len(need_rows):
+        sub = out[need_rows].copy()
+        ids_col = need_rows[:, None]
+        for _ in range(16):
+            miss = sub < 0
+            if not miss.any():
+                break
+            sub[miss] = rng.integers(0, n, size=int(miss.sum()))
+            sub[sub == ids_col] = -1
+            ordv = np.argsort(sub, axis=1, kind="stable")
+            sv = np.take_along_axis(sub, ordv, axis=1)
+            dup_s = np.zeros_like(sv, bool)
+            dup_s[:, 1:] = (sv[:, 1:] == sv[:, :-1]) & (sv[:, 1:] >= 0)
+            dup = np.zeros_like(dup_s)
+            np.put_along_axis(dup, ordv, dup_s, axis=1)
+            sub[dup] = -1
+        out[need_rows] = sub
+    for u in np.flatnonzero((out >= 0).sum(1) < m):  # rare stragglers
         have = set(int(x) for x in out[u] if x >= 0)
-        need = m - len(have)
-        fill = []
-        while len(fill) < need:
+        while len(have) < m:
             v = int(rng.integers(0, n))
-            if v != u and v not in have:
+            if v != u:
                 have.add(v)
-                fill.append(v)
-        row = [x for x in out[u] if x >= 0] + fill
-        out[u] = row
+        out[u] = sorted(have)[:m] if len(have) == m else list(have)[:m]
 
     if verbose:
         inb = np.bincount(out.reshape(-1), minlength=n)
