@@ -19,6 +19,16 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
+// Runtime CPU-feature probe: the library is built with -maes -mavx2 -mfma, so
+// every kernel assumes those ISAs. Callers must check this before any other
+// entry point and fall back to NumPy when it returns 0 (instead of SIGILL).
+
+int pacmann_cpu_supported(void) {
+  return __builtin_cpu_supports("aes") && __builtin_cpu_supports("avx2") &&
+         __builtin_cpu_supports("fma");
+}
+
+// ---------------------------------------------------------------------------
 // AES-128 key schedule (AESKEYGENASSIST). round_keys: 11 x 16 bytes.
 
 static inline __m128i aes_expand_step(__m128i key, __m128i keygened) {

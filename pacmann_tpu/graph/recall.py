@@ -11,23 +11,19 @@ import numpy as np
 
 
 def compute_recall(gnd: np.ndarray, response: np.ndarray, k: int) -> float:
-    """Duplicate-aware recall@k against top-k ground truth."""
-    gnd = np.asarray(gnd)
-    response = np.asarray(response)
+    """Duplicate-aware recall@k against top-k ground truth.
+
+    The reference counts each *distinct* response id at most once and scores
+    it iff it appears in the top-k ground truth — i.e. per query the hit
+    count is |set(response[:k]) ∩ set(gnd[:k])|.
+    """
+    gnd = np.asarray(gnd)[:, :k]
+    response = np.asarray(response)[:, :k]
     num_q = response.shape[0]
     total = 0.0
     for i in range(num_q):
-        seen = set()
-        hit = 0
-        for j in range(k):
-            r = int(response[i][j])
-            if r in seen:
-                continue  # repeated answers don't double count
-            seen.add(r)
-            if r in set(int(x) for x in gnd[i][:k]):
-                hit += 1
-        total += hit / float(k)
-    return float(total / num_q)
+        total += len(set(response[i].tolist()) & set(gnd[i].tolist()))
+    return float(total / (num_q * float(k)))
 
 
 def brute_force_knn(vectors: np.ndarray, queries: np.ndarray, k: int,

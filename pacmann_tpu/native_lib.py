@@ -35,17 +35,36 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the source is newer than the built library."""
+    src = os.path.join(_NATIVE_DIR, "pacmann_native.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    except OSError:
+        return True
+
+
 def load():
     """Return the ctypes library or None (after one build attempt)."""
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not os.path.exists(_SO_PATH) and not _build():
+    if (not os.path.exists(_SO_PATH) or _stale()) and not _build():
         _load_failed = True
         return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
+        _load_failed = True
+        return None
+
+    # Refuse CPUs without AES-NI/AVX2/FMA: the kernels would SIGILL.
+    try:
+        lib.pacmann_cpu_supported.restype = ctypes.c_int
+        if not lib.pacmann_cpu_supported():
+            _load_failed = True
+            return None
+    except AttributeError:  # stale library predating the probe
         _load_failed = True
         return None
 
@@ -75,17 +94,22 @@ def available() -> bool:
 # a NumPy fallback check available() first).
 
 
-def expand_key(key: bytes) -> np.ndarray:
+def _require():
     lib = load()
     if lib is None:
         raise RuntimeError("native library unavailable")
+    return lib
+
+
+def expand_key(key: bytes) -> np.ndarray:
+    lib = _require()
     rk = np.empty(176, np.uint8)
     lib.pacmann_expand_key(np.frombuffer(key, np.uint8), rk)
     return rk
 
 
 def prf_eval_u64(rk176: np.ndarray, tags: np.ndarray, xs: np.ndarray) -> np.ndarray:
-    lib = load()
+    lib = _require()
     tags = np.ascontiguousarray(tags, np.uint64)
     xs = np.ascontiguousarray(xs, np.uint64)
     tags, xs = np.broadcast_arrays(tags, xs)
@@ -99,7 +123,7 @@ def prf_eval_u64(rk176: np.ndarray, tags: np.ndarray, xs: np.ndarray) -> np.ndar
 def prf_offset_table(rk176: np.ndarray, tag0: int, T: int, S: int,
                      mask: int) -> np.ndarray:
     """(T, S) u32: PRF(tag0+t, s) & mask — the hint-gen offset table."""
-    lib = load()
+    lib = _require()
     out = np.empty((T, S), np.uint32)
     lib.pacmann_prf_offset_table(rk176, tag0, T, S, mask, out)
     return out
@@ -109,7 +133,7 @@ def xor_scan(db: np.ndarray, offsets: np.ndarray, skip: np.ndarray,
              k: int) -> np.ndarray:
     """Same contract as ops.xor_scan.xor_scan_np: db (S, CK, 128) u32,
     offsets/skip (B, S) -> (B, k, 128) u32."""
-    lib = load()
+    lib = _require()
     B, S = offsets.shape
     db = np.ascontiguousarray(db, np.uint32)
     offsets = np.ascontiguousarray(offsets, np.uint32)
@@ -120,7 +144,7 @@ def xor_scan(db: np.ndarray, offsets: np.ndarray, skip: np.ndarray,
 
 
 def l2_batch(queries: np.ndarray, points: np.ndarray) -> np.ndarray:
-    lib = load()
+    lib = _require()
     queries = np.ascontiguousarray(queries, np.float32)
     points = np.ascontiguousarray(points, np.float32)
     out = np.empty((queries.shape[0], points.shape[0]), np.float32)
@@ -130,7 +154,7 @@ def l2_batch(queries: np.ndarray, points: np.ndarray) -> np.ndarray:
 
 
 def inner_product_u32(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    lib = load()
+    lib = _require()
     a = np.ascontiguousarray(a, np.uint32)
     b = np.ascontiguousarray(b, np.uint32)
     out = np.empty((a.shape[0], b.shape[0]), np.uint32)

@@ -62,8 +62,11 @@ class SimpleBatchPianoPIR:
 
     def _record_stats(self, prep_time: float):
         self.preprocessing_time = prep_time
+        # min over partitions: robust if partition sizes ever diverge
+        # (today they are equal, so this matches the reference's use of [0])
         self.support_batch_num = (
-            self.sub_pir[0].params.max_query_num // QUERY_PER_PARTITION
+            min(s.params.max_query_num for s in self.sub_pir)
+            // QUERY_PER_PARTITION
         )
         db_bytes = float(self.config.db_size) * self.config.entry_bytes
         self.comm_cost_per_batch_offline = int(db_bytes / self.support_batch_num)
@@ -118,9 +121,10 @@ class SimpleBatchPianoPIR:
             if idx in responses:
                 out[r] = responses[idx]
 
-        # budget bookkeeping + auto re-prep (batch-pir.go:239-245)
+        # budget bookkeeping + auto re-prep (batch-pir.go:239-245);
+        # min over partitions so no partition can exceed its own budget
         if (self.queries_made_in_partition
-                >= self.sub_pir[0].params.max_query_num - 2):
+                >= min(s.params.max_query_num for s in self.sub_pir) - 2):
             if self.verbose:
                 print(f"Redo preprocessing after {self.finished_batch_num} batches")
             self.preprocessing()

@@ -54,7 +54,6 @@ def pack_db(raw: np.ndarray, chunk_size: int, set_size: int) -> np.ndarray:
 
 def unpack_entries(padded: np.ndarray, entry_u32: int) -> np.ndarray:
     """(..., k, 128) or (..., k*128) u32 -> (..., entry_u32) u32."""
-    k = entry_rows(entry_u32)
-    flat = padded.reshape(padded.shape[: -2 if padded.shape[-1] == 128 else -1] + (k * 128,)) \
-        if padded.shape[-1] == 128 else padded
-    return flat[..., :entry_u32]
+    if padded.shape[-1] == 128:  # collapse the (k, 128) row pair
+        padded = padded.reshape(padded.shape[:-2] + (-1,))
+    return padded[..., :entry_u32]

@@ -107,6 +107,10 @@ class ClientState:
 # full fixed-size bitsliced device block (aes.PRF_BLOCK lanes) + transfers.
 _HOST_PREP_THRESHOLD = 1 << 15
 
+# Below this many *gathered bytes* the host XOR scan beats a device dispatch
+# (performance heuristic only; equals the PRF cutover at entry k=1).
+_HOST_SCAN_THRESHOLD_BYTES = 1 << 22
+
 
 class PianoClient:
     """Stateful PianoPIR client (pir.go:91-471).
@@ -216,7 +220,10 @@ class PianoClient:
 
     def _xor_scan(self, server: PianoServer, offsets, skip) -> np.ndarray:
         k = server.k
-        if server.device or self._on_device(offsets.size * k * 4):
+        gathered_bytes = offsets.size * k * 512  # one (k,128)-u32 row per off
+        on_device = (self.use_device_prep if self.use_device_prep is not None
+                     else gathered_bytes >= _HOST_SCAN_THRESHOLD_BYTES)
+        if server.device or on_device:
             out = np.asarray(xor_scan_xla(server.db, offsets, skip, k))
         else:
             out = xor_scan_host(np.asarray(server.db), offsets, skip, k)

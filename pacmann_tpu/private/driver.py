@@ -90,18 +90,25 @@ def _load_or_make_inputs(cfg: PrivateSearchConfig, rng):
 
     if cfg.graph_file and os.path.exists(cfg.graph_file):
         graph = load_int_matrix(cfg.graph_file, cfg.n, cfg.m)
-    elif cfg.build_graph and cfg.input_file:
-        # build-if-missing with on-disk caching (private-search.go:139-160)
+    elif cfg.build_graph:
+        # build-if-missing with on-disk caching + build-time aux record
+        # (private-search.go:139-160, aux file :148-153)
         from pacmann_tpu.graph.build import build_graph
 
+        tb = time.perf_counter()
         graph = build_graph(vectors, cfg.m, seed=cfg.seed, verbose=cfg.verbose)
+        build_s = time.perf_counter() - tb
         if cfg.graph_file:
             save_int_matrix(cfg.graph_file, graph)
-    elif cfg.build_graph and not cfg.input_file and cfg.n <= 200_000:
-        from pacmann_tpu.graph.build import build_graph
-
-        graph = build_graph(vectors, cfg.m, seed=cfg.seed, verbose=cfg.verbose)
+            base, _ = os.path.splitext(cfg.graph_file)
+            with open(base + "_graph_aux.txt", "w") as f:
+                f.write(f"Graph build time: {build_s:.6f} s\n"
+                        f"n={cfg.n} dim={cfg.dim} m={cfg.m}\n")
     else:
+        # EXPLICITLY requested no build: a random graph gives meaningless
+        # recall — never fall back to this silently.
+        print("WARNING: build_graph=False and no graph file — using a RANDOM "
+              "graph; recall will be meaningless.")
         graph = gen_random_graph(cfg.n, cfg.m, rng)
 
     if cfg.query_file:
@@ -164,11 +171,16 @@ def run_private_search(cfg: PrivateSearchConfig,
         sids, svecs, snbrs = frontend.start
         fs = FusedPrivateSearch(oracle.pir, sids, svecs, snbrs,
                                 dim=cfg.dim, m=cfg.m, n=cfg.n)
-        # warm-up compile on the first group shape
+        # warm-up compile on the first group shape; then a fresh budget.
+        # In benchmarking mode (dummy prep requested) the refresh must also
+        # be dummy — a real hint-gen here would silently distort timings.
         first = min(group, cfg.q)
         fs.search(queries[:first], cfg.k, cfg.max_step, cfg.parallel,
                   seed=cfg.seed)
-        oracle.pir.preprocessing()  # fresh budget after the warm-up burn
+        if cfg.benchmarking:
+            oracle.pir.dummy_preprocessing(rng=rng)
+        else:
+            oracle.pir.preprocessing()
         t0 = time.perf_counter()
         with profile_cm:
             for i in range(0, cfg.q, group):
@@ -183,6 +195,9 @@ def run_private_search(cfg: PrivateSearchConfig,
                 answers[i:j] = out[: j - i]
         search_time = time.perf_counter() - t0
         avg_time = search_time / max(cfg.q, 1)
+        # fused mode does not report reach_steps (stays -1): the per-result
+        # first-reached-step bookkeeping is not tracked inside the fused
+        # device program (it would add a gather per step for a debug metric).
         return _finalize(cfg, oracle, answers, steps, avg_time, 0.0,
                          prep_time, gnd, window)
 

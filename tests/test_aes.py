@@ -85,6 +85,42 @@ def test_prf_mmo_low_words_match_host():
     assert np.array_equal(got, want)
 
 
+def test_prf_table_on_device_matches_host():
+    """The TPU-only table circuit is backend-agnostic jit code — pin it to
+    the host AES oracle on the CPU backend (it has no other CPU callers)."""
+    rng = np.random.default_rng(7)
+    key = rng.bytes(16)
+    rk = aes_host.expand_key(key)
+    km = aes.expand_key_planes(key)
+    T, S, mask = 37, 12, 1023
+    got = np.asarray(aes._prf_table_on_device(km, T, S, mask))
+    want = (
+        aes_host.prf_eval_u64(
+            rk, np.arange(T, dtype=np.uint64)[:, None],
+            np.arange(S, dtype=np.uint64)[None, :])
+        & np.uint64(mask)
+    ).astype(np.uint32)
+    assert np.array_equal(got, want)
+
+
+def test_prf_tables_fused_matches_host():
+    """Fused all-partition table circuit (TPU fast path) vs the host oracle."""
+    rng = np.random.default_rng(8)
+    keys = [rng.bytes(16) for _ in range(3)]
+    T, S, mask = 21, 9, 255
+    masks = np.stack([aes.expand_key_planes(k) for k in keys])
+    got = np.asarray(aes._prf_tables_fused(masks, T, S, mask))
+    for p, key in enumerate(keys):
+        rk = aes_host.expand_key(key)
+        want = (
+            aes_host.prf_eval_u64(
+                rk, np.arange(T, dtype=np.uint64)[:, None],
+                np.arange(S, dtype=np.uint64)[None, :])
+            & np.uint64(mask)
+        ).astype(np.uint32)
+        assert np.array_equal(got[p], want), f"partition {p}"
+
+
 @pytest.mark.parametrize("chunk_size", [512, 4096])
 def test_prf_offsets_masking(chunk_size):
     rng = np.random.default_rng(4)
