@@ -26,6 +26,11 @@ class PrivateSearchReport:
     avg_compute_time_per_q_s: float
     online_comm_per_batch_bytes: float
     recall: float = -1.0  # -1 => no ground truth (private-search.go:263)
+    # Client memory beyond the reference's storage model (pir.go:178-190):
+    # this design keeps the PRF offset tables / slot columns resident to skip
+    # online AES, which the reference recomputes instead (pir.go:404-427).
+    # Reported explicitly so storage comparisons are honest.
+    extra_storage_bytes: float = 0.0
 
     @property
     def avg_total_time_per_q_s(self) -> float:
@@ -48,6 +53,8 @@ class PrivateSearchReport:
             "",
             "Preprocessing Cost:",
             f"** Storage (MB): {self.storage_bytes / 1024.0 / 1024.0:f}",
+            "** Extra Client State (MB, PRF tables): "
+            f"{self.extra_storage_bytes / 1024.0 / 1024.0:f}",
             f"** Preparation Time (s): {self.prep_time_s:f}",
             "** Offline Communication Cost Per Q (KB, amt.): "
             f"{self.offline_comm_per_batch_bytes * sp / 1024.0:f}",

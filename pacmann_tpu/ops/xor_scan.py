@@ -145,6 +145,118 @@ def xor_scan_parts(db4, offsets, skip, k: int):
     return acc
 
 
+# ---------------------------------------------------------------------------
+# One-hot-matmul hint generation: the production Pallas kernel.
+#
+# The round-1 gather kernel (below) is blocked by Mosaic's single-vreg
+# dynamic_gather. This kernel sidesteps gathers entirely: each grid step
+# selects this hint block's row from the current chunk with a one-hot matrix
+# multiply on the MXU. A one-hot row picks exactly one chunk entry, so the
+# matmul "sum" IS the gather (never mix chunks into one matmul — that would
+# sum entries where the protocol needs XOR; the XOR accumulation across
+# chunks happens on the VMEM-resident parity block instead).
+#
+# u32 payloads ride through the MXU exactly as four u8 bit-planes in bf16
+# (0..255 and their one-hot dot products are exact in bf16/f32). Parity
+# blocks stay in VMEM across the whole chunk stream (grid revisiting), so
+# HBM traffic is chunk streams + one parity write — the round-1 XLA scan
+# paid a full parity-array round trip per chunk (~48 GB at SIFT1M scale).
+
+
+def _hintgen_mm_kernel(off_ref, db_ref, out_ref, *, C: int, bb: int):
+    """Grid (P, hint-blocks, S), chunks innermost.
+
+    off_ref (1, 1, bb) i32: this block's offsets for chunk s (value C =
+    skip); db_ref (1, 1, C, E) u32: chunk s of partition p, entry-major;
+    out_ref (1, bb, E) u32: the parity block, VMEM-resident across s.
+    """
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    chunk = db_ref[0, 0]                             # (C, E) u32
+    offs = off_ref[0]                                # (1, bb) i32
+    # one-hot, transposed: Mt[c, b] = (offs[b] == c); skips (offs == C)
+    # match no row and contribute zero.
+    offm = jnp.broadcast_to(offs, (C, bb))
+    colm = jax.lax.broadcasted_iota(jnp.int32, (C, bb), 0)
+    mt = (offm == colm).astype(jnp.bfloat16)         # (C, bb)
+
+    g = jnp.zeros(out_ref.shape[1:], jnp.uint32)     # (bb, E)
+    for plane in range(4):
+        xp = ((chunk >> (8 * plane)) & jnp.uint32(0xFF)).astype(
+            jnp.float32).astype(jnp.bfloat16)        # (C, E), values 0..255
+        gp = jax.lax.dot_general(
+            mt, xp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (bb, E) exact ints
+        g = g | (gp.astype(jnp.int32).astype(jnp.uint32) << (8 * plane))
+    out_ref[0] = out_ref[0] ^ g
+
+
+@functools.partial(jax.jit, static_argnames=("C", "bb", "interpret"))
+def _hintgen_mm_padded(dbE, offsets, C, bb, interpret):
+    """dbE (S, P, C, E) u32; offsets (P, S, Tp) i32 (C = skip), Tp % bb == 0.
+    Returns (P, Tp, E) u32."""
+    P, S, Tp = offsets.shape
+    E = dbE.shape[3]
+    grid = (P, Tp // bb, S)
+    kernel = functools.partial(_hintgen_mm_kernel, C=C, bb=bb)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, Tp, E), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bb), lambda p, hb, s: (p, s, hb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C, E), lambda p, hb, s: (s, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bb, E), lambda p, hb, s: (p, hb, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(offsets, dbE)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "pad_to"))
+def _hintgen_mm_offsets(table, skip, *, C: int, pad_to: int):
+    """(P, T, S) u32 offsets + (P, T, S) bool skip -> (P, S, Tp) i32 with
+    skips folded in as C and the hint axis padded to Tp (pad rows = C)."""
+    off = jnp.where(skip, jnp.int32(C), table.astype(jnp.int32))
+    off = jnp.swapaxes(off, 1, 2)                    # (P, S, T)
+    T = off.shape[2]
+    if pad_to > T:
+        off = jnp.pad(off, ((0, 0), (0, 0), (0, pad_to - T)),
+                      constant_values=C)
+    return off
+
+
+def xor_hintgen_mm(db4, table, skip, k: int, interpret=None):
+    """One-hot-matmul hint generation (production TPU path).
+
+    db4 (S, P, C*k, 128) u32 (the engine's chunk-major layout); table
+    (P, T, S) u32 PRF offsets; skip (P, T, S) bool -> (P, T, k*128) u32.
+    Same contract as xor_scan_parts followed by a (P, T, Ep) reshape.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    S, P, CK, _ = db4.shape
+    C = CK // k
+    E = k * 128
+    T = table.shape[1]
+    # contiguous reshape: entry c's k rows become its E = k*128 lanes
+    dbE = jnp.asarray(db4).reshape(S, P, C, E)
+    nblocks = max(1, -(-T // 2048))
+    bb = -(-T // nblocks)
+    bb = -(-bb // 128) * 128                         # lane-aligned block
+    Tp = nblocks * bb
+    off = _hintgen_mm_offsets(jnp.asarray(table), jnp.asarray(skip),
+                              C=C, pad_to=Tp)
+    out = _hintgen_mm_padded(dbE, off, C, bb, interpret)
+    return out[:, :T]
+
+
 def _hintgen_kernel(off_ref, skip_ref, db_ref, out_ref, *, k: int, bb: int):
     """Grid (P, hint-blocks, S), chunks innermost: the parity block stays in
     VMEM while its partition's chunks stream through. Mosaic's gather needs

@@ -139,6 +139,10 @@ class SimpleBatchPianoPIR:
     def local_storage_size(self) -> float:
         return sum(s.local_storage_size() for s in self.sub_pir)
 
+    def extra_storage_size(self) -> float:
+        """Resident PRF offset tables beyond the reference storage model."""
+        return float(sum(s.client.offset_table_bytes() for s in self.sub_pir))
+
     def comm_cost_per_batch_online(self) -> int:
         return int(sum(s.comm_cost_per_query() * QUERY_PER_PARTITION
                        for s in self.sub_pir))

@@ -76,6 +76,124 @@ def _build_skip(P: int, T: int, Hp: int, R: int, S: int):
     return (t >= Hp) & (s == grp)
 
 
+def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
+                *, C, R, Hp, S, k, max_q, dpp):
+    """Client-side phases A+B-prep: slot selection and query-set build.
+
+    Returns (sel, qs) where qs (Q, P, S) u32 is the per-round offset vector
+    — the exact client->server message of the reference protocol
+    (pir.go:443-448) — and sel carries the selection byproducts that
+    _pir_finish needs. Split out so the engine can expose an auditable
+    message boundary (query_measured) while the fused path composes
+    select + server scan + finish into one program."""
+    tag, prog, ppar, slot_col, hist, finished = carry
+    Q, P = idx_q.shape
+
+    real_q = idx_q >= 0
+    idxu_q = jnp.where(real_q, idx_q, 0).astype(jnp.uint32)
+    chunk_q = (idxu_q // C).astype(jnp.int32)          # (Q, P)
+    off_q = idxu_q % C                                 # (Q, P) u32
+
+    prog_set = prog != dpp                             # (P, Hp)
+    prog_chunk = (prog // C).astype(jnp.int32)
+
+    # ---- Phase A: fully vectorized slot selection (see _pir_batch doc).
+    p_ix2 = jnp.broadcast_to(jnp.arange(P)[None, :], (Q, P))
+    q_ix = jnp.broadcast_to(
+        jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, P))
+    col_all = slot_col[p_ix2, chunk_q]                 # (Q, P, Hp)
+    elig = (col_all == off_q[..., None]) & (
+        ~prog_set[None] | (prog_chunk[None] != chunk_q[..., None]))
+    elig &= real_q[..., None]
+
+    _REPAIR = 6
+    taken = jnp.zeros((P, Hp), bool)
+    hit_q = jnp.zeros((Q, P), jnp.int32)
+    resolved = jnp.zeros((Q, P), bool)
+    for _ in range(_REPAIR):
+        elig_eff = elig & ~taken[None] & ~resolved[..., None]
+        cand_hit = jnp.argmax(elig_eff, axis=2).astype(jnp.int32)
+        cand_found = jnp.any(elig_eff, axis=2)
+        claim = jnp.full((P, Hp), Q, jnp.int32).at[p_ix2, cand_hit].min(
+            jnp.where(cand_found, q_ix, Q))
+        won = cand_found & (claim[p_ix2, cand_hit] == q_ix)
+        hit_q = jnp.where(won, cand_hit, hit_q)
+        resolved |= won
+        taken = taken.at[p_ix2, cand_hit].max(won)
+    found_q = resolved
+
+    # ---- budgets, assigned by round order
+    chunk_oh = found_q[..., None] & (
+        chunk_q[..., None] == jnp.arange(S, dtype=jnp.int32)[None, None, :])
+    rank_c = jnp.cumsum(chunk_oh, axis=0) - 1          # (Q, P, S)
+    rank_own = jnp.take_along_axis(
+        rank_c, chunk_q[..., None], axis=2)[:, :, 0]
+    hist_own = hist[p_ix2, chunk_q]
+    ig_q = (hist_own + rank_own).astype(jnp.int32)
+    ok_r = found_q & (ig_q < R)
+    rank_p = jnp.cumsum(ok_r, axis=0) - 1              # among chunk-ok per p
+    ok_q = ok_r & (rank_p < (max_q - finished)[None, :])
+    ig_q = jnp.minimum(ig_q, R - 1)                    # clamp for safe gathers
+
+    # ---- Phase B-prep: the query sets (client->server message)
+    p_ix = jnp.arange(P)[None, :]
+    hit_tag = tag[p_ix, hit_q]                           # (Q, P)
+    qs = table[p_ix, hit_tag.astype(jnp.int32)]          # (Q, P, S)
+    hp = prog[p_ix, hit_q]                               # (Q, P)
+    hp_set = hp != dpp
+    s_iota = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    qs = jnp.where(
+        (s_iota == (hp // C).astype(jnp.int32)[..., None]) & hp_set[..., None],
+        (hp % C)[..., None], qs)
+    r_idx = repl_idx[p_ix, chunk_q, ig_q]                # (Q, P)
+    qs = jnp.where(s_iota == chunk_q[..., None], (r_idx % C)[..., None], qs)
+    # dummies keep the fixed access pattern (pir.go:363-371)
+    qs = jnp.where(ok_q[..., None], qs, rnd_q)
+
+    sel = (hit_q, ok_q, ok_r, ig_q, chunk_q, idxu_q)
+    return sel, qs
+
+
+def _pir_finish(repl_val, bpar, table, carry, sel, resp,
+                *, C, R, Hp, S, k, dpp):
+    """Client-side unmask + Phase C refresh given the server response
+    resp (Q, P, k*128) u32 (pir.go:451-468)."""
+    tag, prog, ppar, slot_col, hist, finished = carry
+    hit_q, ok_q, ok_r, ig_q, chunk_q, idxu_q = sel
+    Q, P = hit_q.shape
+    Ep = k * 128
+    p_ix = jnp.arange(P)[None, :]
+
+    r_val = repl_val[p_ix, chunk_q, ig_q]                # (Q, P, Ep)
+    par = ppar[p_ix, hit_q]                              # (Q, P, Ep)
+    entries = jnp.where(ok_q[..., None], resp ^ r_val ^ par, 0)
+
+    # ---- Phase C: refresh scatters (slots unique per partition)
+    btag = Hp + chunk_q * R + ig_q                       # (Q, P)
+    bp = bpar[p_ix, btag - Hp]
+    new_par = bp ^ entries
+    # masked scatter: failed rounds write out-of-bounds -> dropped
+    hit_w = jnp.where(ok_q, hit_q, Hp)
+    pf = jnp.broadcast_to(p_ix, (Q, P)).reshape(-1)
+    hw = hit_w.reshape(-1)
+    ppar = ppar.at[pf, hw].set(new_par.reshape(Q * P, Ep), mode="drop")
+    tag = tag.at[pf, hw].set(btag.reshape(-1), mode="drop")
+    prog = prog.at[pf, hw].set(idxu_q.reshape(-1), mode="drop")
+    # refresh the cached PRF columns of the consumed slots
+    new_col = table[p_ix, btag]                          # (Q, P, S)
+    slot_col = slot_col.at[
+        pf[:, None], jnp.arange(S)[None, :], hw[:, None]
+    ].set(new_col.reshape(Q * P, S), mode="drop")
+    # burn the group index of every admitted candidate (ok_r), including
+    # rounds later denied by the global budget — their (replacement, backup)
+    # pair is spent-by-assignment and must never be reused
+    hist = hist.at[pf, jnp.where(ok_r, chunk_q, S).reshape(-1)].add(
+        1, mode="drop")
+    finished = finished + jnp.sum(ok_q, axis=0, dtype=finished.dtype)
+
+    return (tag, prog, ppar, slot_col, hist, finished), entries, ok_q
+
+
 def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
                idx_q, rnd_q, *, C, R, Hp, S, k, max_q, dpp):
     """Serve Q sub-queries per partition as a TWO-PHASE batched program.
@@ -114,112 +232,13 @@ def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
     """
     from pacmann_tpu.ops.xor_scan import xor_gather_multi
 
-    tag, prog, ppar, slot_col, hist, finished = carry
-    Q, P = idx_q.shape
     Ep = k * 128
-
-    real_q = idx_q >= 0
-    idxu_q = jnp.where(real_q, idx_q, 0).astype(jnp.uint32)
-    chunk_q = (idxu_q // C).astype(jnp.int32)          # (Q, P)
-    off_q = idxu_q % C                                 # (Q, P) u32
-
-    prog_set = prog != dpp                             # (P, Hp)
-    prog_chunk = (prog // C).astype(jnp.int32)
-
-    # ---- Phase A: fully vectorized slot selection.
-    # Eligibility for ALL rounds at once, then an iterative priority repair:
-    # every unresolved round claims its first eligible slot; when several
-    # rounds of one partition claim the same slot, the earliest round wins
-    # (scatter-min), losers retry against the updated taken-mask. Collisions
-    # require equal (chunk, offset) pairs or tag coincidences, so nearly all
-    # rounds resolve in the first pass; _REPAIR passes bound the worst case
-    # (unresolved leftovers fail like a protocol miss).
-    p_ix2 = jnp.broadcast_to(jnp.arange(P)[None, :], (Q, P))
-    q_ix = jnp.broadcast_to(
-        jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, P))
-    col_all = slot_col[p_ix2, chunk_q]                 # (Q, P, Hp)
-    elig = (col_all == off_q[..., None]) & (
-        ~prog_set[None] | (prog_chunk[None] != chunk_q[..., None]))
-    elig &= real_q[..., None]
-
-    _REPAIR = 6
-    taken = jnp.zeros((P, Hp), bool)
-    hit_q = jnp.zeros((Q, P), jnp.int32)
-    resolved = jnp.zeros((Q, P), bool)
-    for _ in range(_REPAIR):
-        elig_eff = elig & ~taken[None] & ~resolved[..., None]
-        cand_hit = jnp.argmax(elig_eff, axis=2).astype(jnp.int32)
-        cand_found = jnp.any(elig_eff, axis=2)
-        claim = jnp.full((P, Hp), Q, jnp.int32).at[p_ix2, cand_hit].min(
-            jnp.where(cand_found, q_ix, Q))
-        won = cand_found & (claim[p_ix2, cand_hit] == q_ix)
-        hit_q = jnp.where(won, cand_hit, hit_q)
-        resolved |= won
-        taken = taken.at[p_ix2, cand_hit].max(won)
-    found_q = resolved
-
-    # ---- budgets, assigned by round order (correct-by-construction: a
-    # candidate that fails a budget check still consumes its replacement /
-    # backup group index, so indices are never reused — it only wastes one
-    # consumable, which the sequential reference would have used anyway on
-    # the query it admits instead).
-    chunk_oh = found_q[..., None] & (
-        chunk_q[..., None] == jnp.arange(S, dtype=jnp.int32)[None, None, :])
-    rank_c = jnp.cumsum(chunk_oh, axis=0) - 1          # (Q, P, S)
-    rank_own = jnp.take_along_axis(
-        rank_c, chunk_q[..., None], axis=2)[:, :, 0]
-    hist_own = hist[p_ix2, chunk_q]
-    ig_q = (hist_own + rank_own).astype(jnp.int32)
-    ok_r = found_q & (ig_q < R)
-    rank_p = jnp.cumsum(ok_r, axis=0) - 1              # among chunk-ok per p
-    ok_q = ok_r & (rank_p < (max_q - finished)[None, :])
-    ig_q = jnp.minimum(ig_q, R - 1)                    # clamp for safe gathers
-
-    # ---- Phase B: heavy work, one op per stage over all (Q, P) rounds
-    p_ix = jnp.arange(P)[None, :]
-    hit_tag = tag[p_ix, hit_q]                           # (Q, P)
-    qs = table[p_ix, hit_tag.astype(jnp.int32)]          # (Q, P, S)
-    hp = prog[p_ix, hit_q]                               # (Q, P)
-    hp_set = hp != dpp
-    s_iota = jnp.arange(S, dtype=jnp.int32)[None, None, :]
-    qs = jnp.where(
-        (s_iota == (hp // C).astype(jnp.int32)[..., None]) & hp_set[..., None],
-        (hp % C)[..., None], qs)
-    r_idx = repl_idx[p_ix, chunk_q, ig_q]                # (Q, P)
-    qs = jnp.where(s_iota == chunk_q[..., None], (r_idx % C)[..., None], qs)
-    # dummies keep the fixed access pattern (pir.go:363-371)
-    qs = jnp.where(ok_q[..., None], qs, rnd_q)
-
+    Q, P = idx_q.shape
+    sel, qs = _pir_select(table, repl_idx, carry, idx_q, rnd_q,
+                          C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
     resp = xor_gather_multi(db, qs, k).reshape(Q, P, Ep)
-
-    r_val = repl_val[p_ix, chunk_q, ig_q]                # (Q, P, Ep)
-    par = ppar[p_ix, hit_q]                              # (Q, P, Ep)
-    entries = jnp.where(ok_q[..., None], resp ^ r_val ^ par, 0)
-
-    # ---- Phase C: refresh scatters (slots unique per partition)
-    btag = Hp + chunk_q * R + ig_q                       # (Q, P)
-    bp = bpar[p_ix, btag - Hp]
-    new_par = bp ^ entries
-    # masked scatter: failed rounds write out-of-bounds -> dropped
-    hit_w = jnp.where(ok_q, hit_q, Hp)
-    pf = jnp.broadcast_to(p_ix, (Q, P)).reshape(-1)
-    hw = hit_w.reshape(-1)
-    ppar = ppar.at[pf, hw].set(new_par.reshape(Q * P, Ep), mode="drop")
-    tag = tag.at[pf, hw].set(btag.reshape(-1), mode="drop")
-    prog = prog.at[pf, hw].set(idxu_q.reshape(-1), mode="drop")
-    # refresh the cached PRF columns of the consumed slots
-    new_col = table[p_ix, btag]                          # (Q, P, S)
-    slot_col = slot_col.at[
-        pf[:, None], jnp.arange(S)[None, :], hw[:, None]
-    ].set(new_col.reshape(Q * P, S), mode="drop")
-    # burn the group index of every admitted candidate (ok_r), including
-    # rounds later denied by the global budget — their (replacement, backup)
-    # pair is spent-by-assignment and must never be reused
-    hist = hist.at[pf, jnp.where(ok_r, chunk_q, S).reshape(-1)].add(
-        1, mode="drop")
-    finished = finished + jnp.sum(ok_q, axis=0, dtype=finished.dtype)
-
-    return (tag, prog, ppar, slot_col, hist, finished), entries, ok_q
+    return _pir_finish(repl_val, bpar, table, carry, sel, resp,
+                       C=C, R=R, Hp=Hp, S=S, k=k, dpp=dpp)
 
 
 def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
@@ -246,12 +265,56 @@ _online_step = functools.partial(
 )(_online_core)
 
 
+# --- measured-boundary pieces: the same protocol split at the observable
+# client<->server messages (pir.go:443-448) so byte counts can be audited.
+
+
+@functools.partial(
+    jax.jit, static_argnames=("C", "R", "Hp", "S", "k", "max_q", "dpp"))
+def _select_step(state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
+    carry = (state["tag"], state["prog"], state["primary_parity"],
+             state["slot_col"], state["hist"], state["finished"])
+    return _pir_select(state["table"], state["repl_idx"], carry, idx_q,
+                       rand_offs, C=C, R=R, Hp=Hp, S=S, k=k,
+                       max_q=max_q, dpp=dpp)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _server_answer(db, qs, *, k):
+    """The server's ENTIRE online compute (pir.go:65-88): answer (Q, P, S)
+    offset vectors with one XOR parity per sub-query."""
+    from pacmann_tpu.ops.xor_scan import xor_gather_multi
+
+    Q, P, S = qs.shape
+    return xor_gather_multi(db, qs, k).reshape(Q, P, k * 128)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("C", "R", "Hp", "S", "k", "dpp"),
+    donate_argnames=("state",))
+def _finish_step(state, sel, resp, *, C, R, Hp, S, k, dpp):
+    carry = (state["tag"], state["prog"], state["primary_parity"],
+             state["slot_col"], state["hist"], state["finished"])
+    carry, entries, oks = _pir_finish(
+        state["repl_val"], state["backup_parity"], state["table"],
+        carry, sel, resp, C=C, R=R, Hp=Hp, S=S, k=k, dpp=dpp)
+    tag, prog, ppar, slot_col, hist, finished = carry
+    new_state = dict(state, tag=tag, prog=prog, primary_parity=ppar,
+                     slot_col=slot_col, hist=hist, finished=finished)
+    return new_state, entries, oks
+
+
 class DevicePianoEngine:
     """Batch PIR with device-resident hint state (drop-in query/prep API)."""
 
     def __init__(self, db_size: int, entry_bytes: int, batch_size: int,
                  raw: np.ndarray, failure_prob_log2: int,
-                 verbose: bool = False):
+                 verbose: bool = False, measure_comm: bool = False):
+        """measure_comm: run each batch through the split client->server->
+        client pipeline instead of the fused program, materializing the
+        observable messages (offset upload, entry download) on the host
+        boundary and recording their byte counts in uploaded_bytes /
+        downloaded_bytes (auditable twin of pir.go:443-448)."""
         entry_u32 = entry_bytes // 4
         raw = raw.reshape(db_size, entry_u32)
         self.config = derive_batch_params(
@@ -283,6 +346,10 @@ class DevicePianoEngine:
         self.cache: dict[int, np.ndarray] = {}
         self._rng = np.random.default_rng()
 
+        self.measure_comm = measure_comm
+        self.uploaded_bytes = 0      # measured client->server message bytes
+        self.downloaded_bytes = 0    # measured server->client message bytes
+
         # stats (batch-pir.go:44-53)
         self.finished_batch_num = 0
         self.queries_made_in_partition = 0
@@ -299,7 +366,8 @@ class DevicePianoEngine:
         self.comm_cost_per_batch_offline = int(db_bytes / self.support_batch_num)
 
     def preprocessing(self, rng: np.random.Generator | None = None):
-        from pacmann_tpu.ops.xor_scan import xor_scan_parts
+        from pacmann_tpu.ops.xor_scan import xor_hintgen_mm, xor_scan_parts
+        from pacmann_tpu.utils.platform import on_tpu
 
         t0 = time.perf_counter()
         self.finished_batch_num = 0
@@ -324,10 +392,15 @@ class DevicePianoEngine:
         ]
         table = jnp.stack(tables)                       # (P, T, S)
 
-        # 2) fused parity generation (pir.go:303-343)
+        # 2) fused parity generation (pir.go:303-343). On TPU: the one-hot-
+        # matmul Pallas kernel (parity blocks VMEM-resident across the chunk
+        # stream, MXU does the row selection); elsewhere: the XLA gather scan.
         skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
-        parities = xor_scan_parts(self.db, table, skip, self.k)
-        parities = parities.reshape(P, T, self.Ep)
+        if on_tpu():
+            parities = xor_hintgen_mm(self.db, table, skip, self.k)
+        else:
+            parities = xor_scan_parts(self.db, table, skip, self.k)
+            parities = parities.reshape(P, T, self.Ep)
 
         # 3) replacements, gathered on device (pir.go:345-349)
         repl_off = (self._rng.integers(
@@ -395,6 +468,30 @@ class DevicePianoEngine:
             Hp=p.primary_hint_num, S=p.set_size, k=self.k,
             max_q=p.max_query_num, dpp=DEFAULT_PROGRAM_POINT)
 
+    def _online_measured(self, idx_q, rand_offs):
+        """The same batch, split at the observable protocol messages: the
+        (Q, P, S)-u32 offset upload and the (Q, P, entry) download cross the
+        host boundary and are byte-counted (pir.go:443-448's messages)."""
+        p = self.params
+        kw = dict(C=p.chunk_size, R=p.max_query_per_chunk,
+                  Hp=p.primary_hint_num, S=p.set_size, k=self.k,
+                  dpp=DEFAULT_PROGRAM_POINT)
+        sel, qs = _select_step(self.state, idx_q, rand_offs,
+                               max_q=p.max_query_num, **kw)
+        # client -> server: the offset vectors, materialized on the host
+        qs_msg = np.asarray(qs)
+        self.uploaded_bytes += qs_msg.nbytes
+        resp = _server_answer(self.db, jnp.asarray(qs_msg), k=self.k)
+        # server -> client: one entry-sized parity per sub-query (the
+        # padded lanes beyond entry_u32 are structurally zero and are not
+        # part of the message, matching the reference's DBEntrySize*8)
+        E = self.config.entry_bytes // 4
+        resp_msg = np.asarray(resp)[:, :, :E]
+        self.downloaded_bytes += resp_msg.nbytes
+        resp_padded = np.zeros(resp.shape, np.uint32)
+        resp_padded[:, :, :E] = resp_msg
+        return _finish_step(self.state, sel, jnp.asarray(resp_padded), **kw)
+
     def query(self, ids) -> np.ndarray:
         """Reference batch contract (batch-pir.go:170-248): FCFS quota of
         len(ids)/P per partition, dummy padding, overflow -> zeros; one
@@ -427,7 +524,8 @@ class DevicePianoEngine:
             rand_offs = (self._rng.integers(
                 0, 2**32, size=(quota, P, p.set_size), dtype=np.uint64)
                 & np.uint64(p.chunk_mask)).astype(np.uint32)
-            self.state, entries, oks = self._online(idx_q, rand_offs)
+            online = self._online_measured if self.measure_comm else self._online
+            self.state, entries, oks = online(idx_q, rand_offs)
             # one device_get round trip for both results
             entries, oks = jax.device_get((entries, oks))
             entries = entries[:, :, :E]                   # (Q, P, E)
@@ -460,6 +558,16 @@ class DevicePianoEngine:
 
     def local_storage_size(self) -> float:
         return self.params.local_storage_bytes() * self.config.partition_num
+
+    def extra_storage_size(self) -> float:
+        """Client memory beyond the reference model (pir.go:178-190): the
+        resident PRF offset table (P, T, S) and the hit-scan slot-column
+        cache (P, S, Hp), both u32 — kept to skip online AES (the reference
+        recomputes the PRF per query instead, pir.go:404-427)."""
+        p = self.params
+        per_part = (p.total_tags * p.set_size
+                    + p.set_size * p.primary_hint_num) * 4
+        return float(per_part * self.config.partition_num)
 
     def comm_cost_per_batch_online(self) -> int:
         return int(self.params.comm_cost_per_query_bytes()

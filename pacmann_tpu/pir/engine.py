@@ -263,6 +263,10 @@ class FusedBatchPianoPIR:
     def local_storage_size(self) -> float:
         return self.params.local_storage_bytes() * self.config.partition_num
 
+    def extra_storage_size(self) -> float:
+        """Resident PRF offset tables beyond the reference storage model."""
+        return float(sum(cl.offset_table_bytes() for cl in self.clients))
+
     def comm_cost_per_batch_online(self) -> int:
         return int(self.params.comm_cost_per_query_bytes()
                    * QUERY_PER_PARTITION * self.config.partition_num)

@@ -249,6 +249,9 @@ def _finalize(cfg, oracle, answers, steps, avg_time, maintenance, prep_time,
         rtt_ms=cfg.rtt_ms,
         window_size=window,
         storage_bytes=pir.local_storage_size() if pir is not None else 0.0,
+        extra_storage_bytes=(
+            pir.extra_storage_size()
+            if pir is not None and hasattr(pir, "extra_storage_size") else 0.0),
         prep_time_s=prep_time,
         offline_comm_per_batch_bytes=(
             pir.comm_cost_per_batch_offline if pir is not None else 0.0),

@@ -79,6 +79,122 @@ def test_device_budget_reprep():
     assert ok > rounds * batch * 0.65  # lossy FCFS bound (see test_batch_pir)
 
 
+def _raw_online(pir, idx_q, rng):
+    """Drive one _pir_batch directly (bypasses query()'s cache/dedup) so
+    adversarial slot-contention batches can be constructed."""
+    p = pir.params
+    Q, P = idx_q.shape
+    rand_offs = (rng.integers(0, 2**32, size=(Q, P, p.set_size),
+                              dtype=np.uint64)
+                 & np.uint64(p.chunk_mask)).astype(np.uint32)
+    state, entries, oks = pir._online(np.asarray(idx_q, np.int32), rand_offs)
+    pir.state = state  # old state buffers were donated
+    E = pir.config.entry_bytes // 4
+    return np.asarray(entries)[:, :, :E], np.asarray(oks)
+
+
+def test_measured_comm_matches_analytic_model():
+    """measure_comm mode materializes the client->server offset upload and
+    the server->client entry download at a host boundary; the measured byte
+    counts must equal the reference's analytic model (pir.go:539-544,
+    batch-pir.go:258-264) exactly, and the answers must stay exact."""
+    rng = np.random.default_rng(62)
+    n, entry_bytes, batch = 8192, 32, 32
+    raw = rng.integers(0, 2**32, size=(n, entry_bytes // 4), dtype=np.uint32)
+    pir = DevicePianoEngine(n, entry_bytes, batch, raw, 20, measure_comm=True)
+    pir.preprocessing(rng=np.random.default_rng(104))
+    c, p = pir.config, pir.params
+
+    batches = 3
+    for b in range(batches):
+        ids = [int(i * c.partition_size + rng.integers(0, c.partition_size))
+               for i in range(c.partition_num)] * 2
+        out = pir.query(ids)
+        for r, idx in enumerate(ids):
+            assert np.array_equal(out[r], raw[idx]), (b, r)
+
+    # analytic per-batch: QUERY_PER_PARTITION sub-queries per partition,
+    # each uploading set_size u32 and downloading one entry
+    up_model = 2 * c.partition_num * p.set_size * 4 * batches
+    down_model = 2 * c.partition_num * entry_bytes * batches
+    assert pir.uploaded_bytes == up_model, (pir.uploaded_bytes, up_model)
+    assert pir.downloaded_bytes == down_model, (
+        pir.downloaded_bytes, down_model)
+    assert pir.comm_cost_per_batch_online() == (
+        up_model + down_model) // batches
+
+
+def test_phase_a_repair_exhaustion():
+    """Worst-case slot contention: every round of a batch asks the SAME
+    (chunk, offset) in every partition, so all rounds contest one eligible
+    slot set. The priority repair resolves one round per pass (_REPAIR=6);
+    rounds beyond that fail like a protocol miss (declared deviation,
+    device_engine.py Phase A). Successful rounds must stay exact and the
+    engine must keep answering normally afterwards."""
+    from pacmann_tpu.pir.device_engine import DevicePianoEngine
+
+    rng = np.random.default_rng(60)
+    n, batch, fail = 2048, 32, 20
+    raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    pir = DevicePianoEngine(n, 32, batch, raw, fail)
+    pir.preprocessing(rng=np.random.default_rng(102))
+    c, p = pir.config, pir.params
+    P = c.partition_num
+
+    Q = 16  # >> _REPAIR
+    local = 17  # same local index in every partition, every round
+    idx_q = np.full((Q, P), local, np.int32)
+    entries, oks = _raw_online(pir, idx_q, rng)
+
+    # expected eligible slots per (chunk, offset) is Hp/C (= 15 here); the
+    # repair bound caps successes at 6 per partition, and with seed-fixed
+    # tables at least 5 eligible slots exist in every partition.
+    per_part = oks.sum(axis=0)
+    assert per_part.max() <= 6, per_part
+    assert per_part.min() >= 5, per_part
+    # successful rounds are exact despite the contention
+    for q in range(Q):
+        for i in range(P):
+            if oks[q, i]:
+                assert np.array_equal(
+                    entries[q, i], raw[i * c.partition_size + local]), (q, i)
+
+    # state stays consistent: a normal follow-up batch answers exactly
+    ids = [int(i * c.partition_size + 5) for i in range(P)]
+    out = pir.query(ids)
+    for r, idx in enumerate(ids):
+        assert np.array_equal(out[r], raw[idx]), r
+
+
+def test_protocol_miss_rate_within_failure_bound():
+    """Protocol-level miss rate (no-hit-hint, pir.go:416-419) stays within
+    the 2^-failLog2-derived bound: P(miss) ~ e^-(Hp/C) <= 2^-(fail+1).
+    Uses one real sub-query per partition per batch (no FCFS drops, no
+    contention) so every failure is a genuine hit-scan miss."""
+    from pacmann_tpu.pir.device_engine import DevicePianoEngine
+
+    rng = np.random.default_rng(61)
+    n, batch, fail = 2048, 32, 2  # small fail -> measurable miss rate
+    raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    pir = DevicePianoEngine(n, 32, batch, raw, fail)
+    pir.preprocessing(rng=np.random.default_rng(103))
+    c, p = pir.config, pir.params
+    P, psize = c.partition_num, c.partition_size
+
+    total = ok = 0
+    batches = min(40, p.max_query_num - 2)
+    for _ in range(batches):
+        idx_q = rng.integers(0, psize, size=(1, P)).astype(np.int32)
+        _, oks = _raw_online(pir, idx_q, rng)
+        total += P
+        ok += int(oks.sum())
+    miss_rate = 1.0 - ok / total
+    # expected ~ e^-(Hp/C) = e^-3 ~ 0.050; assert within 2.5x slack and
+    # always within the protocol's 2^-fail bound
+    assert miss_rate <= max(2.0 ** -fail, 2.5 * np.exp(-p.primary_hint_num
+                                                       / p.chunk_size)), miss_rate
+
+
 def test_device_nondivisible_padding():
     rng = np.random.default_rng(55)
     raw, pir = _mk(rng, n=8000)

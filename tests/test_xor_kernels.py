@@ -73,6 +73,22 @@ def test_pallas_xor_scan_interpret():
     assert np.array_equal(got, want)
 
 
+def test_hintgen_mm_matches_oracle():
+    """One-hot-matmul hint-gen kernel (production TPU path; interpret
+    off-TPU). Exercises hint-axis padding, skips, and full-u32 payloads."""
+    from pacmann_tpu.ops.xor_scan import xor_hintgen_mm
+
+    rng = np.random.default_rng(4)
+    for (S, P, C, k, T) in [(4, 2, 8, 2, 19), (8, 1, 16, 1, 260)]:
+        db4 = rng.integers(0, 2**32, size=(S, P, C * k, 128), dtype=np.uint32)
+        table = rng.integers(0, C, size=(P, T, S), dtype=np.uint32)
+        skip = rng.random((P, T, S)) < 0.25
+        got = np.asarray(xor_hintgen_mm(db4, table, skip, k))
+        for p in range(P):
+            want = xor_scan_np(db4[:, p], table[p], skip[p], k)
+            assert np.array_equal(got[p], want.reshape(T, k * 128)), p
+
+
 def test_pallas_hintgen_interpret():
     """Partition-major Pallas hint-gen kernel (interpret mode off-TPU)."""
     from pacmann_tpu.ops.xor_scan import xor_hintgen_pallas
