@@ -166,9 +166,12 @@ def xor_scan_parts(db4, offsets, skip, k: int):
 def _hintgen_mm_kernel(off_ref, db_ref, out_ref, *, C: int, bb: int):
     """Grid (P, hint-blocks, S), chunks innermost.
 
-    off_ref (1, 1, bb) i32: this block's offsets for chunk s (value C =
-    skip); db_ref (1, 1, C, E) u32: chunk s of partition p, entry-major;
-    out_ref (1, bb, E) u32: the parity block, VMEM-resident across s.
+    off_ref (1, S, bb) i32: this block's offsets for ALL chunks (value C =
+    skip) — the whole sheet rides in VMEM so it is DMA'd once per block,
+    and row s is a dynamic sublane slice (Mosaic-legal; dynamic LANE
+    slicing is not); db_ref (1, 1, C, E) u32: chunk s of partition p,
+    entry-major; out_ref (1, bb, E) u32: the parity block, VMEM-resident
+    across the whole chunk stream.
     """
     s = pl.program_id(2)
 
@@ -176,23 +179,26 @@ def _hintgen_mm_kernel(off_ref, db_ref, out_ref, *, C: int, bb: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    chunk = db_ref[0, 0]                             # (C, E) u32
-    offs = off_ref[0]                                # (1, bb) i32
+    # Mosaic has no u32<->f32 casts: work on the same bits as i32 (logical
+    # shifts keep plane extraction exact) and bitcast back at the end.
+    chunk = jax.lax.bitcast_convert_type(db_ref[0, 0], jnp.int32)  # (C, E)
+    offs = off_ref[0, pl.ds(s, 1), :]                # (1, bb) i32
     # one-hot, transposed: Mt[c, b] = (offs[b] == c); skips (offs == C)
     # match no row and contribute zero.
     offm = jnp.broadcast_to(offs, (C, bb))
     colm = jax.lax.broadcasted_iota(jnp.int32, (C, bb), 0)
     mt = (offm == colm).astype(jnp.bfloat16)         # (C, bb)
 
-    g = jnp.zeros(out_ref.shape[1:], jnp.uint32)     # (bb, E)
+    g = jnp.zeros(out_ref.shape[1:], jnp.int32)      # (bb, E)
     for plane in range(4):
-        xp = ((chunk >> (8 * plane)) & jnp.uint32(0xFF)).astype(
-            jnp.float32).astype(jnp.bfloat16)        # (C, E), values 0..255
+        xp = (jax.lax.shift_right_logical(chunk, 8 * plane)
+              & jnp.int32(0xFF)).astype(jnp.float32).astype(
+                  jnp.bfloat16)                      # (C, E), values 0..255
         gp = jax.lax.dot_general(
             mt, xp, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # (bb, E) exact ints
-        g = g | (gp.astype(jnp.int32).astype(jnp.uint32) << (8 * plane))
-    out_ref[0] = out_ref[0] ^ g
+        g = g | (gp.astype(jnp.int32) << (8 * plane))
+    out_ref[0] = out_ref[0] ^ jax.lax.bitcast_convert_type(g, jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("C", "bb", "interpret"))
@@ -208,7 +214,7 @@ def _hintgen_mm_padded(dbE, offsets, C, bb, interpret):
         out_shape=jax.ShapeDtypeStruct((P, Tp, E), jnp.uint32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bb), lambda p, hb, s: (p, s, hb),
+            pl.BlockSpec((1, S, bb), lambda p, hb, s: (p, 0, hb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, C, E), lambda p, hb, s: (s, p, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -247,7 +253,9 @@ def xor_hintgen_mm(db4, table, skip, k: int, interpret=None):
     T = table.shape[1]
     # contiguous reshape: entry c's k rows become its E = k*128 lanes
     dbE = jnp.asarray(db4).reshape(S, P, C, E)
-    nblocks = max(1, -(-T // 2048))
+    # bb sizes the (C, bb) one-hot intermediates; 1024 keeps the kernel's
+    # scoped VMEM under the 16 MB limit at C=512 (2048 OOMs the compiler).
+    nblocks = max(1, -(-T // 1024))
     bb = -(-T // nblocks)
     bb = -(-bb // 128) * 128                         # lane-aligned block
     Tp = nblocks * bb
