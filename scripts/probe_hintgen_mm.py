@@ -35,19 +35,22 @@ def main():
 
     want = np.asarray(xor_scan_parts(db4, table, skip, k)).reshape(
         P, T, k * 128)
-    t0 = time.perf_counter()
-    got = xor_hintgen_mm(jnp.asarray(db4), jnp.asarray(table),
-                         jnp.asarray(skip), k, interpret=False)
-    got = np.asarray(got)
-    print(f"small compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
-    assert got.shape == want.shape, (got.shape, want.shape)
-    ok = np.array_equal(got, want)
-    print("small correctness:", "PASS" if ok else "FAIL", flush=True)
-    if not ok:
-        bad = np.argwhere(got != want)
-        print("first mismatches:", bad[:5], flush=True)
-        print("got:", got[tuple(bad[0])], "want:", want[tuple(bad[0])])
-        sys.exit(1)
+    for dot in ("bf16", "s8"):
+        t0 = time.perf_counter()
+        got = xor_hintgen_mm(jnp.asarray(db4), jnp.asarray(table),
+                             jnp.asarray(skip), k, interpret=False, dot=dot)
+        got = np.asarray(got)
+        print(f"small {dot} compile+run: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        ok = np.array_equal(got, want)
+        print(f"small {dot} correctness:", "PASS" if ok else "FAIL",
+              flush=True)
+        if not ok:
+            bad = np.argwhere(got != want)
+            print("first mismatches:", bad[:5], flush=True)
+            print("got:", got[tuple(bad[0])], "want:", want[tuple(bad[0])])
+            sys.exit(1)
     if "--small-only" in sys.argv:
         return
 
@@ -64,17 +67,26 @@ def main():
     sync_read(db4)
     print("db ready:", db4.shape, db4.nbytes / 1e9, "GB", flush=True)
 
-    t0 = time.perf_counter()
-    out = xor_hintgen_mm(db4, table, skip, k, interpret=False)
-    sync_read(out)
-    print(f"mm compile+first run: {time.perf_counter()-t0:.1f}s", flush=True)
-    times = []
-    for _ in range(3):
+    outs = {}
+    for dot in ("bf16", "s8"):
         t0 = time.perf_counter()
-        out = xor_hintgen_mm(db4, table, skip, k, interpret=False)
+        out = xor_hintgen_mm(db4, table, skip, k, interpret=False, dot=dot)
         sync_read(out)
-        times.append(time.perf_counter() - t0)
-    print(f"mm kernel times: {[f'{t:.3f}' for t in times]}", flush=True)
+        print(f"mm[{dot}] compile+first run: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = xor_hintgen_mm(db4, table, skip, k, interpret=False,
+                                 dot=dot)
+            sync_read(out)
+            times.append(time.perf_counter() - t0)
+        print(f"mm[{dot}] kernel times: {[f'{t:.3f}' for t in times]}",
+              flush=True)
+        outs[dot] = out
+    same = np.array_equal(np.asarray(outs["bf16"]), np.asarray(outs["s8"]))
+    print("bf16 vs s8 agreement:", "PASS" if same else "FAIL", flush=True)
+    out = outs["s8"]
 
     t0 = time.perf_counter()
     out2 = xor_scan_parts(db4, table, skip, k)

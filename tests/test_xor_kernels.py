@@ -83,10 +83,12 @@ def test_hintgen_mm_matches_oracle():
         db4 = rng.integers(0, 2**32, size=(S, P, C * k, 128), dtype=np.uint32)
         table = rng.integers(0, C, size=(P, T, S), dtype=np.uint32)
         skip = rng.random((P, T, S)) < 0.25
-        got = np.asarray(xor_hintgen_mm(db4, table, skip, k))
-        for p in range(P):
-            want = xor_scan_np(db4[:, p], table[p], skip[p], k)
-            assert np.array_equal(got[p], want.reshape(T, k * 128)), p
+        for dot in ("s8", "bf16"):
+            got = np.asarray(xor_hintgen_mm(db4, table, skip, k, dot=dot))
+            for p in range(P):
+                want = xor_scan_np(db4[:, p], table[p], skip[p], k)
+                assert np.array_equal(got[p], want.reshape(T, k * 128)), \
+                    (dot, p)
 
 
 def test_pallas_hintgen_interpret():
