@@ -6,12 +6,16 @@ batched passes:
 
   1. Candidate generation: NN-descent rounds — each vertex scores its current
      neighbors, sampled neighbors-of-neighbors, sampled reverse edges, and a
-     few random vertices with one MXU distance pass per vertex block, keeping
-     the closest (the role NGT's 1.5*m search plays at build_graph.go:384).
+     few random vertices, keeping the closest (the role NGT's 1.5*m search
+     plays at build_graph.go:384). The ENTIRE round runs as one device
+     program: the adjacency stays in HBM across rounds, reverse-edge sampling
+     is a device sort, per-block candidate scoring is a lax.scan, and RNG is
+     jax.random — nothing crosses the host boundary between rounds (the
+     per-block host loops + 30 MB/s D2H transfers dominated build time).
   2. Robust alpha-prune (DiskANN rule, alpha=1.2): the reference's greedy
      triangle test (build_graph.go:156-223) vectorized — per-vertex candidate
      pairwise-distance tiles + a masked sequential accept loop over the
-     (sorted) candidate axis, vmapped over vertices.
+     (sorted) candidate axis, scanned over vertex blocks on device.
   3. Degree regularization, exactly the reference pipeline
      (build_graph.go:414-484): bidirectionalize, keep edge u->v w.p.
      min(1.5m/inbound[v], 1), re-prune if > m, random-fill to exactly m.
@@ -59,43 +63,113 @@ def _score_and_select(vectors, block_ids, cand_ids, m):
     return jnp.take_along_axis(cand_ids, idx, axis=1), -negd
 
 
-def _nn_descent_round(vectors_dev, graph: np.ndarray, rng, m: int,
-                      n_samples_nbr: int, n_random: int,
-                      block: int) -> np.ndarray:
-    n, m_cur = graph.shape
-    new_graph = np.empty_like(graph)
-    # reverse-edge sample: for each directed edge u->v, v gets up to
-    # n_samples_nbr random u's as candidates. Vectorized: sort edges by
-    # target with a random tiebreak, then take each target group's first
-    # n_samples_nbr entries by within-group rank (no per-edge Python loop).
-    src = np.repeat(np.arange(n), m_cur)
-    dst = graph.reshape(-1)
-    order = np.lexsort((rng.random(n * m_cur), dst))
-    dst_s, src_s = dst[order], src[order]
-    starts = np.searchsorted(dst_s, np.arange(n))
-    rank = np.arange(n * m_cur) - starts[dst_s]
-    sel = rank < n_samples_nbr
-    rev = np.full((n, n_samples_nbr), -1, np.int64)
-    rev[dst_s[sel], rank[sel]] = src_s[sel]
-    rev[rev < 0] = rng.integers(0, n, size=int(np.sum(rev < 0)))
+def _select_topk_sorted(vectors, sqn, q, self_ids, cand, out_m):
+    """Top-out_m distinct candidates by L2 (no self), sort-based dedup.
 
-    for b0 in range(0, n, block):
-        ids = np.arange(b0, min(b0 + block, n))
-        idp = _pad_ids(ids, min(block, n))
-        nbrs = graph[idp]                                        # (B, m)
-        # sample neighbors-of-neighbors
-        pick = rng.integers(0, m_cur, size=(len(idp), m_cur, n_samples_nbr))
-        nn = np.take_along_axis(
-            graph[nbrs.reshape(-1)].reshape(len(idp), m_cur, m_cur),
-            pick, axis=2,
-        ).reshape(len(idp), -1)
-        rnd = rng.integers(0, n, size=(len(idp), n_random))
-        cand = np.concatenate([nbrs, nn, rev[idp], rnd], axis=1)
-        sel, _ = _score_and_select(
-            vectors_dev, jnp.asarray(idp), jnp.asarray(cand), m_cur
-        )
-        new_graph[ids] = np.asarray(sel)[: len(ids)]
-    return new_graph
+    cand (B, C) i32; returns ((B, out_m) ids, (B, out_m) dists). Distances
+    via the MXU dot identity (|c|^2 - 2 q.c + |q|^2); duplicates are masked
+    by sorting the candidate axis and comparing neighbors — O(C log C)
+    instead of the (B, C, C) equality tensor, which capped block sizes."""
+    cv = vectors[cand]                                  # (B, C, d) gather
+    dots = jnp.einsum("bcd,bd->bc", cv, q,
+                      preferred_element_type=jnp.float32)
+    dist = sqn[cand] - 2.0 * dots \
+        + jnp.sum(q * q, axis=1, keepdims=True)         # (B, C)
+    order = jnp.argsort(cand, axis=1)
+    cs = jnp.take_along_axis(cand, order, axis=1)
+    ds = jnp.take_along_axis(dist, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((cand.shape[0], 1), bool), cs[:, 1:] == cs[:, :-1]],
+        axis=1)
+    ds = jnp.where(dup | (cs == self_ids[:, None]), jnp.inf, ds)
+    negd, idx = jax.lax.top_k(-ds, out_m)
+    return jnp.take_along_axis(cs, idx, axis=1), -negd
+
+
+def _reverse_sample_device(graph, key, nsn: int, n_real: int):
+    """(npad, nsn) i32: for each directed edge u->v, v receives up to nsn
+    random u's; empty slots filled with random real ids. Device sort by
+    (target, random tiebreak) + within-group rank scatter."""
+    npad, m = graph.shape
+    E = npad * m
+    k_tie, k_fill = jax.random.split(key)
+    dst = graph.reshape(-1)
+    src = jax.lax.iota(jnp.int32, E) // m
+    tie = jax.random.bits(k_tie, (E,), jnp.uint32)
+    dst_s, _, src_s = jax.lax.sort((dst, tie, src), num_keys=2)
+    starts = jnp.searchsorted(dst_s, jnp.arange(npad, dtype=jnp.int32))
+    rank = jnp.arange(E, dtype=jnp.int32) - starts[dst_s]
+    slot = jnp.where(rank < nsn, rank, nsn)             # nsn = OOB -> dropped
+    rev = jnp.full((npad, nsn), -1, jnp.int32).at[dst_s, slot].set(
+        src_s, mode="drop")
+    fill = jax.random.randint(k_fill, (npad, nsn), 0, n_real, jnp.int32)
+    # padded vertices (id >= n_real) may appear as sources; replace them too
+    return jnp.where((rev < 0) | (rev >= n_real), fill, rev)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsn", "n_random", "block", "n_real", "out_m", "wide"))
+def _nn_round_device(vectors, sqn, graph, key, *, nsn: int, n_random: int,
+                     block: int, n_real: int, out_m: int, wide: bool):
+    """One full NN-descent round on device -> ((npad, out_m) ids, dists).
+
+    wide=False: candidates = own neighbors + nsn sampled neighbors-of-
+    neighbors each + nsn reverse edges + n_random randoms, keep top out_m=m.
+    wide=True: the final widened pool — ALL m^2 neighbors-of-neighbors +
+    randoms, keep top out_m=cand_size (prune pool; build_graph.go:384 role).
+    """
+    npad, m = graph.shape
+    nblocks = npad // block
+    k_rev, k_blocks = jax.random.split(key)
+    rev = None if wide else _reverse_sample_device(graph, k_rev, nsn, n_real)
+
+    def body(_, b):
+        ids = b * block + jnp.arange(block, dtype=jnp.int32)
+        nbrs = jax.lax.dynamic_slice(graph, (b * block, 0), (block, m))
+        kb = jax.random.fold_in(k_blocks, b)
+        nn_all = graph[nbrs.reshape(-1)].reshape(block, m, m)
+        if wide:
+            nn = nn_all.reshape(block, m * m)
+            parts = [nbrs, nn]
+        else:
+            pick = jax.random.randint(
+                jax.random.fold_in(kb, 1), (block, m, nsn), 0, m, jnp.int32)
+            nn = jnp.take_along_axis(nn_all, pick, axis=2).reshape(block, -1)
+            revb = jax.lax.dynamic_slice(rev, (b * block, 0), (block, nsn))
+            parts = [nbrs, nn, revb]
+        rnd = jax.random.randint(
+            jax.random.fold_in(kb, 2), (block, n_random), 0, n_real,
+            jnp.int32)
+        cand = jnp.concatenate(parts + [rnd], axis=1)
+        q = jax.lax.dynamic_slice(
+            vectors, (b * block, 0), (block, vectors.shape[1]))
+        return _, _select_topk_sorted(vectors, sqn, q, ids, cand, out_m)
+
+    _, (new_ids, new_d) = jax.lax.scan(
+        body, None, jnp.arange(nblocks, dtype=jnp.int32))
+    return new_ids.reshape(npad, out_m), new_d.reshape(npad, out_m)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "block"))
+def _prune_device(vectors, wide_ids, wide_d, *, m: int, block: int):
+    """Robust alpha-prune of the widened pools, scanned over vertex blocks
+    on device -> (npad, m) i32 (-1 padded)."""
+    npad = wide_ids.shape[0]
+    nblocks = npad // block
+
+    def body(carry, b):
+        ids = b * block + jnp.arange(block, dtype=jnp.int32)
+        cand = jax.lax.dynamic_slice(
+            wide_ids, (b * block, 0), (block, wide_ids.shape[1]))
+        dists = jax.lax.dynamic_slice(
+            wide_d, (b * block, 0), (block, wide_d.shape[1]))
+        valid = jnp.isfinite(dists)
+        out, _cnt = _robust_prune_batch(
+            vectors, ids, jnp.maximum(cand, 0), valid, m)
+        return carry, out
+
+    _, out = jax.lax.scan(body, None, jnp.arange(nblocks, dtype=jnp.int32))
+    return out.reshape(npad, m)
 
 
 # ---------------------------------------------------------------------------
@@ -162,64 +236,55 @@ def _robust_prune_batch(vectors, u_ids, cand_ids, cand_valid, m):
 
 
 def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
-                seed: int = 0, block: int = 8192,
+                seed: int = 0, block: int = 2048,
                 verbose: bool = False) -> np.ndarray:
-    """vectors (n, d) float32 -> graph (n, m) int32."""
+    """vectors (n, d) float32 -> graph (n, m) int32.
+
+    Phases 1-2 run as whole-round device programs (adjacency resident in
+    HBM, one dispatch per round); phase 3's edge bookkeeping is host NumPy
+    with device distance passes for the hub prune pools.
+    """
     rng = np.random.default_rng(seed)
     vectors = np.asarray(vectors, np.float32)
     n, d = vectors.shape
-    vectors_dev = jnp.asarray(vectors)
+    blk = min(block, n)
+    npad = -(-n // blk) * blk
+    vpad = vectors if npad == n else np.concatenate(
+        [vectors, np.tile(vectors[:1], (npad - n, 1))])
+    vectors_dev = jnp.asarray(vpad)
+    sqn = jnp.sum(vectors_dev * vectors_dev, axis=1)
 
-    # phase 1: NN-descent from a random graph
-    graph = rng.integers(0, n, size=(n, m), dtype=np.int64)
-    self_rows = graph == np.arange(n)[:, None]
-    graph[self_rows] = (graph[self_rows] + 1) % n
+    # phase 1: NN-descent from a random graph, fully device-resident
+    g0 = rng.integers(0, n, size=(npad, m), dtype=np.int64)
+    self_rows = g0 == np.arange(npad)[:, None]
+    g0[self_rows] = (g0[self_rows] + 1) % n
+    graph_dev = jnp.asarray(g0, jnp.int32)
+    key = jax.random.PRNGKey(seed)
     for r in range(rounds):
-        graph = _nn_descent_round(
-            vectors_dev, graph, rng, m,
-            n_samples_nbr=2, n_random=8, block=block,
-        ).astype(np.int64)
+        key, sub = jax.random.split(key)
+        graph_dev, _ = _nn_round_device(
+            vectors_dev, sqn, graph_dev, sub,
+            nsn=2, n_random=8, block=blk, n_real=n, out_m=m, wide=False)
         if verbose:
-            print(f"nn-descent round {r} done")
+            graph_dev.block_until_ready()
+            print(f"nn-descent round {r} done", flush=True)
 
-    # phase 2: candidate pool = 1.5m nearest (self excluded) + robust prune
-    cand_size = int(1.5 * m) + m  # current m + extra from a final wide round
-    wide = _nn_descent_wide(vectors_dev, graph, rng, cand_size, block)
-    pruned = np.empty((n, m), np.int64)
-    for b0 in range(0, n, block):
-        ids = np.arange(b0, min(b0 + block, n))
-        idp = _pad_ids(ids, min(block, n))
-        cand = wide[idp]
-        valid = cand >= 0
-        out, _ = _robust_prune_batch(
-            vectors_dev, jnp.asarray(idp), jnp.asarray(np.maximum(cand, 0)),
-            jnp.asarray(valid), m,
-        )
-        pruned[ids] = np.asarray(out)[: len(ids)]
+    # phase 2: candidate pool = widened final round + robust prune, on device
+    cand_size = int(1.5 * m) + m
+    key, sub = jax.random.split(key)
+    wide_ids, wide_d = _nn_round_device(
+        vectors_dev, sqn, graph_dev, sub,
+        nsn=2, n_random=16, block=blk, n_real=n, out_m=cand_size, wide=True)
+    pruned_dev = _prune_device(vectors_dev, wide_ids, wide_d, m=m, block=blk)
+    pruned = np.asarray(pruned_dev[:n]).astype(np.int64)
+    if verbose:
+        print("widen+prune done", flush=True)
 
     # phase 3: reference degree regularization (build_graph.go:414-484)
-    graph = _degree_regularize(vectors_dev, pruned, m, rng, block, verbose)
+    # (padded vector rows are never indexed: all ids in `pruned` are < n)
+    graph = _degree_regularize(vectors_dev, pruned, m, rng,
+                               max(block, 4096), verbose)
     return graph.astype(np.int32)
-
-
-def _nn_descent_wide(vectors_dev, graph, rng, cand_size, block):
-    """One widened scoring round: keep top cand_size as the prune pool."""
-    n, m = graph.shape
-    out = np.empty((n, cand_size), np.int64)
-    for b0 in range(0, n, block):
-        ids = np.arange(b0, min(b0 + block, n))
-        idp = _pad_ids(ids, min(block, n))
-        nbrs = graph[idp]
-        nn = graph[nbrs.reshape(-1)].reshape(len(idp), -1)
-        rnd = rng.integers(0, n, size=(len(idp), 16))
-        cand = np.concatenate([nbrs, nn, rnd], axis=1)
-        sel, dist = _score_and_select(
-            vectors_dev, jnp.asarray(idp), jnp.asarray(cand), cand_size
-        )
-        sel = np.asarray(sel).copy()
-        sel[~np.isfinite(np.asarray(dist))] = -1  # fewer than cand_size distinct
-        out[ids] = sel[: len(ids)]
-    return out
 
 
 def _degree_regularize(vectors_dev, graph: np.ndarray, m: int, rng,
@@ -249,12 +314,22 @@ def _degree_regularize(vectors_dev, graph: np.ndarray, m: int, rng,
     uniq[1:] = (bi_src[1:] != bi_src[:-1]) | (bi_dst[1:] != bi_dst[:-1])
     keep_e = uniq & (bi_src != bi_dst)
     bi_src, bi_dst = bi_src[keep_e], bi_dst[keep_e]
-    starts = np.searchsorted(bi_src, np.arange(n))
-    rank = np.arange(len(bi_src)) - starts[bi_src]
     counts = np.bincount(bi_src, minlength=n)
     max_c = max(int(counts.max()) if len(counts) else m, m)
+    # cap each vertex's connection list at a RANDOM subset: mega-hubs can
+    # collect tens of thousands of in-edges, and an (n, max_c) host array
+    # explodes at n=1e6; the hub prune pool is re-narrowed to the CAP
+    # nearest below anyway, so a random pre-subset only thins extreme hubs
+    CAP_CONN = max(16 * m, 512)
+    if max_c > CAP_CONN:
+        order2 = np.lexsort((rng.random(len(bi_src)), bi_src))
+        bi_src, bi_dst = bi_src[order2], bi_dst[order2]
+        max_c = CAP_CONN
+    starts = np.searchsorted(bi_src, np.arange(n))
+    rank = np.arange(len(bi_src)) - starts[bi_src]
+    within = rank < max_c
     conn = np.full((n, max_c), -1, np.int64)
-    conn[bi_src, rank] = bi_dst
+    conn[bi_src[within], rank[within]] = bi_dst[within]
 
     out = np.full((n, m), -1, np.int64)
     over = np.flatnonzero((conn >= 0).sum(1) > m)

@@ -69,7 +69,10 @@ def _gf_mul_planes(a, b):
     return _linear(gf2.RED, z)
 
 
-def _sbox_planes(x):
+def _sbox_planes_chain(x):
+    """Addition-chain S-box (x^254 via 4 carry-less multiplies). ~670 gates
+    per byte position; kept as the independent correctness twin of the
+    production Boyar-Peralta circuit below (tests/test_aes.py)."""
     t1 = _linear(gf2.SQ1, x)       # x^2
     t2 = _gf_mul_planes(t1, x)     # x^3
     t3 = _linear(gf2.SQ2, t2)      # x^12
@@ -80,6 +83,16 @@ def _sbox_planes(x):
     y = _linear(gf2.AFFINE_M, t7)
     ones = jnp.uint32(0xFFFFFFFF)
     return [y[o] ^ ones if gf2.AFFINE_C_BITS[o] else y[o] for o in range(8)]
+
+
+def _sbox_planes(x):
+    """Boyar-Peralta S-box: 32 ANDs + ~150 XORs total (~4x fewer vector ops
+    than the addition chain). Middle section transcribed from the public
+    netlist; bottom linear layer solved over GF(2) at import (gf2.py)."""
+    z = gf2.bp_middle(x)
+    y = _linear(gf2.BP_BOTTOM_M, z)
+    ones = jnp.uint32(0xFFFFFFFF)
+    return [y[o] ^ ones if gf2.BP_BOTTOM_C[o] else y[o] for o in range(8)]
 
 
 # Byte permutations (dest j takes source perm[j]).

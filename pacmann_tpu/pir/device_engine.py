@@ -76,6 +76,38 @@ def _build_skip(P: int, T: int, Hp: int, R: int, S: int):
     return (t >= Hp) & (s == grp)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "T", "S", "C", "Hp", "R", "k", "chunk_mask"))
+def _prep_fused(db4, masks, repl_off, *, T: int, S: int, C: int, Hp: int,
+                R: int, k: int, chunk_mask: int):
+    """The ENTIRE offline phase as one device program (TPU path).
+
+    Separate per-phase dispatches cost ~25 ms each in tunnel round trips and
+    forced syncs — at a 0.3 s total that overhead dominates. One program =
+    one dispatch + one checksum sync: PRF tables (bitsliced AES, unrolled
+    per partition to keep the working set small), the one-hot-matmul hint
+    scan, replacement gathers, and the slot-column cache.
+
+    Returns (table, parities, repl_val, slot_col, checksum); the u32
+    checksum depends on every output so a single host read syncs the lot.
+    """
+    from pacmann_tpu.ops.xor_scan import xor_hintgen_mm
+
+    P = masks.shape[0]
+    Ep = k * 128
+    table = jnp.stack([
+        aes._prf_table_on_device(masks[p], T, S, chunk_mask)
+        for p in range(P)
+    ])                                                   # (P, T, S)
+    skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
+    parities = xor_hintgen_mm(db4, table, skip, k)       # (P, T, Ep)
+    repl_val = _gather_repl(db4, repl_off, k=k, Ep=Ep)   # (P, S, R, Ep)
+    slot_col = jnp.swapaxes(table[:, :Hp, :], 1, 2)      # (P, S, Hp)
+    checksum = (parities[-1, -1, -1] ^ repl_val[-1, -1, -1, -1]
+                ^ table[-1, -1, -1] ^ slot_col[0, 0, 0])
+    return table, parities, repl_val, slot_col, checksum
+
+
 def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
                 *, C, R, Hp, S, k, max_q, dpp):
     """Client-side phases A+B-prep: slot selection and query-set build.
@@ -366,7 +398,7 @@ class DevicePianoEngine:
         self.comm_cost_per_batch_offline = int(db_bytes / self.support_batch_num)
 
     def preprocessing(self, rng: np.random.Generator | None = None):
-        from pacmann_tpu.ops.xor_scan import xor_hintgen_mm, xor_scan_parts
+        from pacmann_tpu.ops.xor_scan import xor_scan_parts
         from pacmann_tpu.utils.platform import on_tpu
 
         t0 = time.perf_counter()
@@ -382,39 +414,41 @@ class DevicePianoEngine:
                        p.primary_hint_num, p.chunk_size)
         T = Hp + S * R
 
-        # 1) PRF offset tables, device-resident (pir.go:318,336). One call
-        # per partition: async dispatch pipelines the round trips, and the
-        # per-partition working set stays cache-friendly (measured 2x faster
-        # than evaluating all partitions in one fused circuit).
-        tables = [
-            aes.prf_offset_table_device(self._rng.bytes(16), T, S, p.chunk_mask)
-            for _ in range(P)
-        ]
-        table = jnp.stack(tables)                       # (P, T, S)
-
-        # 2) fused parity generation (pir.go:303-343). On TPU: the one-hot-
-        # matmul Pallas kernel (parity blocks VMEM-resident across the chunk
-        # stream, MXU does the row selection); elsewhere: the XLA gather scan.
-        skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
-        if on_tpu():
-            parities = xor_hintgen_mm(self.db, table, skip, self.k)
-        else:
-            parities = xor_scan_parts(self.db, table, skip, self.k)
-            parities = parities.reshape(P, T, self.Ep)
-
-        # 3) replacements, gathered on device (pir.go:345-349)
+        # replacement offsets drawn host-side (tiny; pir.go:345-349)
         repl_off = (self._rng.integers(
             0, 2**32, size=(P, S, R), dtype=np.uint64)
             & np.uint64(p.chunk_mask)).astype(np.uint32)
         repl_idx = repl_off + (
             np.arange(S, dtype=np.uint32) * C)[None, :, None]
-        repl_val = _gather_repl(
-            self.db, jnp.asarray(repl_off), k=self.k, Ep=self.Ep)
+
+        if on_tpu():
+            # the whole offline phase as ONE device program + ONE sync
+            # (see _prep_fused): per-phase dispatch/sync round trips over
+            # the interconnect otherwise dominate the 0.3 s total.
+            masks = np.stack([
+                aes.expand_key_planes(self._rng.bytes(16)) for _ in range(P)])
+            table, parities, repl_val, slot_col, chk = _prep_fused(
+                self.db, jnp.asarray(masks), jnp.asarray(repl_off),
+                T=T, S=S, C=C, Hp=Hp, R=R, k=self.k, chunk_mask=p.chunk_mask)
+        else:
+            # CPU backends: native AES-NI host tables + the XLA gather scan
+            table = jnp.stack([
+                aes.prf_offset_table_device(
+                    self._rng.bytes(16), T, S, p.chunk_mask)
+                for _ in range(P)
+            ])                                           # (P, T, S)
+            skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
+            parities = xor_scan_parts(self.db, table, skip, self.k)
+            parities = parities.reshape(P, T, self.Ep)
+            repl_val = _gather_repl(
+                self.db, jnp.asarray(repl_off), k=self.k, Ep=self.Ep)
+            slot_col = jnp.swapaxes(table[:, :Hp, :], 1, 2).copy()
+            chk = None
 
         self.state = dict(
             table=table,
             # cached PRF column per primary slot (initial tags are 0..Hp-1)
-            slot_col=jnp.swapaxes(table[:, :Hp, :], 1, 2).copy(),  # (P, S, Hp)
+            slot_col=slot_col,                           # (P, S, Hp)
             tag=jnp.broadcast_to(
                 jnp.arange(Hp, dtype=jnp.int32)[None, :], (P, Hp)).copy(),
             prog=jnp.full((P, Hp), DEFAULT_PROGRAM_POINT, jnp.uint32),
@@ -426,11 +460,14 @@ class DevicePianoEngine:
             repl_val=repl_val,
         )
         # block_until_ready can return early on tunneled platforms; a D2H
-        # read of values that depend on every prep pass forces a real sync.
-        _ = np.asarray(self.state["primary_parity"][-1, -1]
-                       ^ self.state["backup_parity"][-1, -1]
-                       ^ self.state["repl_val"][-1, -1, -1])
-        _ = np.asarray(self.state["table"][-1, -1, -1])
+        # read of a value that depends on every prep pass forces a real sync.
+        if chk is not None:
+            _ = np.asarray(chk)
+        else:
+            _ = np.asarray(self.state["primary_parity"][-1, -1]
+                           ^ self.state["backup_parity"][-1, -1]
+                           ^ self.state["repl_val"][-1, -1, -1])
+            _ = np.asarray(self.state["table"][-1, -1, -1])
         self._record_stats(time.perf_counter() - t0)
 
     def dummy_preprocessing(self, rng=None):

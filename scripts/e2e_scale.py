@@ -1,0 +1,152 @@
+"""Full private-search quality at scale (canonical n=1e6 demo).
+
+Builds (or loads) the Vamana-style graph over SIFT-like clustered synthetic
+vectors, then measures recall@10 for (a) the plaintext beam engine and
+(b) the fused private path, against brute-force ground truth — the canonical
+configuration of the reference (k=10, step=20, parallel=3, FailureProbLog2=8;
+/root/reference/run-private-search.sh:16-18, private-search-report.txt).
+
+Usage:
+  python scripts/e2e_scale.py [--n 1000000] [--rounds 5] [--queries 100]
+                              [--uniform] [--rebuild] [--build-only]
+
+Writes phase timings to stdout and a JSON report next to the graph cache.
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def synth_vectors(n: int, d: int, clustered: bool, rng) -> np.ndarray:
+    """SIFT-like mixture of Gaussians (or uniform with --uniform)."""
+    if not clustered:
+        return rng.random((n, d), dtype=np.float32)
+    n_c = max(256, int(np.sqrt(n)) // 4)  # 1M -> 250 -> 256; 65k -> 256
+    n_c = 1 << int(np.ceil(np.log2(n_c)) + 2)  # 1M -> 4096
+    centers = rng.standard_normal((n_c, d)).astype(np.float32)
+    out = np.empty((n, d), np.float32)
+    block = 1 << 16
+    for b0 in range(0, n, block):
+        b = min(block, n - b0)
+        lab = rng.integers(0, n_c, b)
+        out[b0:b0 + b] = (centers[lab]
+                          + 0.35 * rng.standard_normal((b, d)).astype(
+                              np.float32))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--queries", type=int, default=100)
+    ap.add_argument("--uniform", action="store_true")
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--step", type=int, default=20)
+    ap.add_argument("--parallel", type=int, default=3)
+    args = ap.parse_args()
+
+    n, d, m = args.n, 128, 32
+    tag = f"{n}_{'uniform' if args.uniform else 'clustered'}"
+    gpath = f"/tmp/graph_{tag}.npy"
+    report_path = f"/tmp/e2e_{tag}_report.json"
+    report = {"n": n, "d": d, "m": m, "rounds": args.rounds,
+              "clustered": not args.uniform, "k": args.k,
+              "step": args.step, "parallel": args.parallel}
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    vectors = synth_vectors(n, d, not args.uniform, rng)
+    print(f"vectors synthesized: {time.time()-t0:.1f}s", flush=True)
+
+    from pacmann_tpu.graph.build import build_graph
+
+    if os.path.exists(gpath) and not args.rebuild:
+        graph = np.load(gpath).astype(np.int64)
+        print("graph loaded", flush=True)
+    else:
+        t0 = time.time()
+        graph = np.asarray(build_graph(vectors, m, rounds=args.rounds,
+                                       seed=0, verbose=True), np.int64)
+        build_s = time.time() - t0
+        report["build_s"] = round(build_s, 1)
+        print(f"graph built: {build_s:.1f}s", flush=True)
+        np.save(gpath, graph.astype(np.int32))
+    if args.build_only:
+        with open(report_path, "w") as f:
+            json.dump(report, f)
+        print("DONE (build only)", flush=True)
+        return
+
+    from pacmann_tpu.graph.recall import brute_force_knn, compute_recall
+
+    Q = args.queries
+    if args.uniform:
+        queries = rng.random((Q, d), dtype=np.float32)
+    else:
+        queries = vectors[rng.choice(n, Q, replace=False)] \
+            + 0.1 * rng.standard_normal((Q, d)).astype(np.float32)
+    t0 = time.time()
+    gnd = brute_force_knn(vectors, queries, args.k)
+    print(f"ground truth: {time.time()-t0:.1f}s", flush=True)
+
+    from pacmann_tpu.graph.beam import PlaintextEngine
+
+    eng = PlaintextEngine(vectors, graph)
+    t0 = time.time()
+    ids, _ = eng.search(queries, args.k, args.step, args.parallel, seed=1)
+    r_plain = compute_recall(gnd, ids, args.k)
+    report["plaintext_recall"] = round(r_plain, 4)
+    print(f"plaintext recall@{args.k}: {r_plain:.4f} "
+          f"({time.time()-t0:.1f}s incl. compile)", flush=True)
+
+    from pacmann_tpu.pir.device_engine import DevicePianoEngine
+    from pacmann_tpu.private.fused_search import FusedPrivateSearch
+    from pacmann_tpu.private.oracle import pack_vertex_db
+
+    raw = pack_vertex_db(vectors, graph)
+    engine = DevicePianoEngine(n, 4 * (d + m), m, raw, 8)
+    t0 = time.time()
+    engine.preprocessing(rng=np.random.default_rng(1))
+    prep_s = time.time() - t0
+    report["prep_s"] = round(prep_s, 2)
+    print(f"prep: {prep_s:.1f}s (incl. compile)", flush=True)
+
+    sids = rng.choice(n, int(np.sqrt(n)), replace=False)
+    fs = FusedPrivateSearch(engine, sids, vectors[sids], graph[sids],
+                            dim=d, m=m, n=n)
+    B = 4
+    t0 = time.time()
+    fs.search(queries[:B], k=args.k, max_step=args.step,
+              parallel=args.parallel, seed=2)
+    print(f"fused compile: {time.time()-t0:.1f}s", flush=True)
+    out = np.zeros((Q, args.k), np.int64)
+    t0 = time.time()
+    for i in range(0, Q, B):
+        j = min(i + B, Q)
+        qb = queries[i:j]
+        if len(qb) < B:
+            qb = np.concatenate([qb, np.tile(qb[-1:], (B - len(qb), 1))])
+        out[i:j] = fs.search(qb, k=args.k, max_step=args.step,
+                             parallel=args.parallel, seed=3 + i)[: j - i]
+    dt = time.time() - t0
+    r_priv = compute_recall(gnd, out, args.k)
+    report["private_recall"] = round(r_priv, 4)
+    report["private_ms_per_query"] = round(dt / Q * 1000, 2)
+    print(f"fused private: {dt/Q*1000:.1f} ms/query, "
+          f"recall@{args.k}: {r_priv:.4f}", flush=True)
+
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"report -> {report_path}", flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -139,3 +139,22 @@ def test_prf_offsets_masking(chunk_size):
         & np.uint64(chunk_size - 1)
     ).astype(np.uint32)
     assert np.array_equal(got, want)
+
+
+def test_bp_sbox_matches_chain_and_table():
+    """Boyar-Peralta S-box circuit vs the addition-chain twin and the
+    field-derived table, on random bit planes."""
+    from pacmann_tpu.ops import gf2
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 256, size=(16, 64), dtype=np.uint8)
+    planes = [jnp.asarray(((vals >> b) & 1).astype(np.uint32) *
+                          np.uint32(0xFFFFFFFF)) for b in range(8)]
+    got_bp = aes._sbox_planes(planes)
+    got_chain = aes._sbox_planes_chain(planes)
+    want = gf2.SBOX[vals]
+    for o in range(8):
+        bit = ((want >> o) & 1).astype(np.uint32) * np.uint32(0xFFFFFFFF)
+        assert np.array_equal(np.asarray(got_bp[o]), bit), o
+        assert np.array_equal(np.asarray(got_chain[o]), bit), o

@@ -205,3 +205,47 @@ def test_device_nondivisible_padding():
     out = pir.query(ids)
     for r, idx in enumerate(ids):
         assert np.array_equal(out[r], raw[idx])
+
+
+def test_fused_prep_matches_split_path():
+    """The single-program TPU offline path (_prep_fused) must produce
+    bit-identical state to the CPU split path given the same RNG stream
+    (device bitsliced AES == host AES oracle; mm kernel == XLA scan).
+    Called directly on the CPU backend (pallas in interpret mode)."""
+    import jax.numpy as jnp
+
+    from pacmann_tpu.ops import aes
+    from pacmann_tpu.pir.device_engine import _prep_fused
+
+    rng = np.random.default_rng(60)
+    n, entry_bytes, batch = 4096, 32, 32
+    raw = rng.integers(0, 2**32, size=(n, entry_bytes // 4), dtype=np.uint32)
+
+    pir = DevicePianoEngine(n, entry_bytes, batch, raw, 20)
+    pir.preprocessing(rng=np.random.default_rng(7))
+
+    # replicate preprocessing's RNG draw order: repl_off, then one key/part
+    p, c = pir.params, pir.config
+    P = c.partition_num
+    S, R, Hp, C = (p.set_size, p.max_query_per_chunk, p.primary_hint_num,
+                   p.chunk_size)
+    T = Hp + S * R
+    rng2 = np.random.default_rng(7)
+    repl_off = (rng2.integers(0, 2**32, size=(P, S, R), dtype=np.uint64)
+                & np.uint64(p.chunk_mask)).astype(np.uint32)
+    masks = np.stack([aes.expand_key_planes(rng2.bytes(16))
+                      for _ in range(P)])
+    table, parities, repl_val, slot_col, chk = _prep_fused(
+        pir.db, jnp.asarray(masks), jnp.asarray(repl_off),
+        T=T, S=S, C=C, Hp=Hp, R=R, k=pir.k, chunk_mask=p.chunk_mask)
+
+    assert np.array_equal(np.asarray(table), np.asarray(pir.state["table"]))
+    assert np.array_equal(np.asarray(slot_col),
+                          np.asarray(pir.state["slot_col"]))
+    assert np.array_equal(np.asarray(parities[:, :Hp]),
+                          np.asarray(pir.state["primary_parity"]))
+    assert np.array_equal(np.asarray(parities[:, Hp:]),
+                          np.asarray(pir.state["backup_parity"]))
+    assert np.array_equal(np.asarray(repl_val),
+                          np.asarray(pir.state["repl_val"]))
+    int(np.asarray(chk))  # checksum is a real scalar
