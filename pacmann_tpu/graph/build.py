@@ -136,7 +136,16 @@ def _nn_round_device(vectors, sqn, graph, key, *, nsn: int, n_random: int,
                 jax.random.fold_in(kb, 1), (block, m, nsn), 0, m, jnp.int32)
             nn = jnp.take_along_axis(nn_all, pick, axis=2).reshape(block, -1)
             revb = jax.lax.dynamic_slice(rev, (b * block, 0), (block, nsn))
-            parts = [nbrs, nn, revb]
+            # neighbors-of-REVERSE-neighbors: the standard NN-descent local
+            # join uses both edge directions; forward-only propagation
+            # converges much more slowly at large n
+            rpick = jax.random.randint(
+                jax.random.fold_in(kb, 3), (block, nsn, nsn * 2), 0, m,
+                jnp.int32)
+            rnn = jnp.take_along_axis(
+                graph[revb.reshape(-1)].reshape(block, nsn, m), rpick,
+                axis=2).reshape(block, -1)
+            parts = [nbrs, nn, revb, rnn]
         rnd = jax.random.randint(
             jax.random.fold_in(kb, 2), (block, n_random), 0, n_real,
             jnp.int32)
@@ -148,6 +157,66 @@ def _nn_round_device(vectors, sqn, graph, key, *, nsn: int, n_random: int,
     _, (new_ids, new_d) = jax.lax.scan(
         body, None, jnp.arange(nblocks, dtype=jnp.int32))
     return new_ids.reshape(npad, out_m), new_d.reshape(npad, out_m)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "K", "m", "iters", "block", "n_real"))
+def _kmeans_bootstrap(vectors, key, *, K: int, m: int, iters: int,
+                      block: int, n_real: int):
+    """Locality-seeded initial graph: a few Lloyd iterations partition the
+    space into ~K cells, then every vertex's initial row is m random members
+    of its own cell. NN-descent from a RANDOM graph must bootstrap each
+    vertex's first nearby neighbor by luck (~cell_size/n per candidate) and
+    stalls at large n (measured: 1.1 % true-NN overlap after 5 rounds at
+    n=1e6); descent from a locality-seeded graph only has to refine.
+
+    Returns (npad, m) i32 initial adjacency (self-entries possible; the
+    scoring rounds mask them).
+    """
+    npad, d = vectors.shape
+    k_init, k_tie, k_pick = jax.random.split(key, 3)
+    cent = vectors[jax.random.randint(k_init, (K,), 0, n_real, jnp.int32)]
+
+    def assign(cent):
+        nblocks = npad // block
+
+        def body(carry, b):
+            q = jax.lax.dynamic_slice(vectors, (b * block, 0), (block, d))
+            dots = q @ cent.T                            # (block, K) MXU
+            cn = jnp.sum(cent * cent, axis=1)
+            lab = jnp.argmin(cn[None, :] - 2.0 * dots, axis=1)
+            return carry, lab.astype(jnp.int32)
+
+        _, labs = jax.lax.scan(body, None,
+                               jnp.arange(nblocks, dtype=jnp.int32))
+        return labs.reshape(npad)
+
+    labels = assign(cent)
+    for _ in range(iters):
+        # Lloyd update via scatter-add; real vertices only
+        w = (jnp.arange(npad) < n_real).astype(jnp.float32)
+        sums = jnp.zeros((K, d), jnp.float32).at[labels].add(
+            vectors * w[:, None])
+        cnts = jnp.zeros((K,), jnp.float32).at[labels].add(w)
+        cent = jnp.where(cnts[:, None] > 0, sums / jnp.maximum(cnts, 1.0)[
+            :, None], cent)
+        labels = assign(cent)
+
+    # group-major order with random tiebreak; per-vertex random members
+    tie = jax.random.bits(k_tie, (npad,), jnp.uint32)
+    # padded vertices get label K so they sort to the end and never pollute
+    # real cells
+    labels = jnp.where(jnp.arange(npad) < n_real, labels, K)
+    lab_s, _, ids_s = jax.lax.sort(
+        (labels, tie, jnp.arange(npad, dtype=jnp.int32)), num_keys=2)
+    starts = jnp.searchsorted(lab_s, jnp.arange(K + 1, dtype=jnp.int32))
+    sizes = jnp.diff(jnp.concatenate(
+        [starts, jnp.array([npad], starts.dtype)]))   # (K+1,)
+    l_of = labels
+    cnt = jnp.maximum(sizes[l_of], 1)                    # (npad,)
+    off = jax.random.randint(k_pick, (npad, m), 0, 1 << 30, jnp.int32)
+    idx = starts[l_of][:, None] + off % cnt[:, None]
+    return ids_s[jnp.clip(idx, 0, npad - 1)]
 
 
 @functools.partial(jax.jit, static_argnames=("m", "block"))
@@ -254,20 +323,27 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     vectors_dev = jnp.asarray(vpad)
     sqn = jnp.sum(vectors_dev * vectors_dev, axis=1)
 
-    # phase 1: NN-descent from a random graph, fully device-resident
-    g0 = rng.integers(0, n, size=(npad, m), dtype=np.int64)
-    self_rows = g0 == np.arange(npad)[:, None]
-    g0[self_rows] = (g0[self_rows] + 1) % n
-    graph_dev = jnp.asarray(g0, jnp.int32)
+    # phase 1: NN-descent from a locality-seeded (k-means cell) graph,
+    # fully device-resident
     key = jax.random.PRNGKey(seed)
+    key, kb = jax.random.split(key)
+    K = max(16, min(4096, n // 256))
+    graph_dev = _kmeans_bootstrap(vectors_dev, kb, K=K, m=m, iters=2,
+                                  block=blk, n_real=n)
+    if verbose:
+        graph_dev.block_until_ready()
+        print(f"kmeans bootstrap done (K={K})", flush=True)
     for r in range(rounds):
         key, sub = jax.random.split(key)
-        graph_dev, _ = _nn_round_device(
+        graph_dev, rdist = _nn_round_device(
             vectors_dev, sqn, graph_dev, sub,
             nsn=2, n_random=8, block=blk, n_real=n, out_m=m, wide=False)
         if verbose:
-            graph_dev.block_until_ready()
-            print(f"nn-descent round {r} done", flush=True)
+            # convergence probe: mean top-m distance over the real vertices
+            md = float(jnp.mean(jnp.where(jnp.isfinite(rdist[:n]),
+                                          rdist[:n], 0.0)))
+            print(f"nn-descent round {r} done (mean top-{m} dist {md:.4f})",
+                  flush=True)
 
     # phase 2: candidate pool = widened final round + robust prune, on device
     cand_size = int(1.5 * m) + m

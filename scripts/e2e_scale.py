@@ -16,9 +16,12 @@ Writes phase timings to stdout and a JSON report next to the graph cache.
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synth_vectors(n: int, d: int, clustered: bool, rng) -> np.ndarray:
