@@ -76,6 +76,9 @@ def make_search_step(fetch_fn, n, m, parallel, benchmarking=False):
         # mark popped slots explored; invalid pops alias slot 0, so use a
         # commutative scatter-max (True only where the pop was real)
         explored = explored.at[slots].max(valid)
+        # the expanded-vertex corridor: emitted as scan ys so callers can
+        # reuse the traversal's waypoints (graph-build candidate generation)
+        popped_ids = jnp.where(valid, ids[slots], NEG_ID)
 
         rand_ids = jax.random.randint(key, (parallel, m), 0, n, dtype=jnp.int32)
         popped_nbrs = nbrs[slots]                       # (parallel, m)
@@ -86,7 +89,7 @@ def make_search_step(fetch_fn, n, m, parallel, benchmarking=False):
         vecs, cand_nbrs = fetch_fn(batch)
 
         if benchmarking:
-            return state, None
+            return state, popped_ids
 
         cdist = l2_distance_xla(query[None, :], vecs)[0]         # (B,)
         known = jnp.any(batch[:, None] == ids[None, :], axis=1)  # vs visited
@@ -106,7 +109,7 @@ def make_search_step(fetch_fn, n, m, parallel, benchmarking=False):
 
         state = dict(state, ids=ids, dist=dist, nbrs=nbrs,
                      explored=explored, reach=reach)
-        return state, None
+        return state, popped_ids
 
     return step_fn
 
@@ -164,6 +167,48 @@ def _plaintext_search(vectors, graph, start_ids, queries, key, *,
 
     qkeys = jax.random.split(key, queries.shape[0])
     return jax.vmap(one_query)(queries, qkeys)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "m", "max_step", "parallel", "block"))
+def search_paths_all(vectors, graph, start_ids, key, *,
+                     n, m, max_step, parallel, block):
+    """Expansion corridors for EVERY vertex: search each vertex's own vector
+    over `graph` and return the ids of the vertices popped (expanded) along
+    the way -> (npad, max_step*parallel) i32, -1 where the frontier was
+    empty. This is the Vamana/NGT candidate-generation role (SURVEY §7
+    step 4): connecting a vertex to its approach corridor is what creates
+    the graph's navigation highways. Runs as a lax.scan over vertex blocks,
+    vmapped within a block; everything stays on device.
+    """
+    npad = vectors.shape[0]
+    start_vecs = vectors[start_ids]
+    start_nbrs = graph[start_ids]
+    cap = parallel + max_step * parallel * m
+
+    def fetch(ids):
+        return vectors[ids], graph[ids]
+
+    step_fn = make_search_step(fetch, n, m, parallel)
+
+    def one_query(query, qkey):
+        state = _seed_state(query, start_ids, start_vecs, start_nbrs,
+                            parallel, cap, m)
+        keys = jax.random.split(qkey, max_step)
+        steps = jnp.arange(max_step, dtype=jnp.int32)
+        _, popped = jax.lax.scan(step_fn, state, (steps, keys))
+        return popped.reshape(max_step * parallel)
+
+    def body(carry, b):
+        q = jax.lax.dynamic_slice(
+            vectors, (b * block, 0), (block, vectors.shape[1]))
+        qkeys = jax.random.split(jax.random.fold_in(key, b), block)
+        return carry, jax.vmap(one_query)(q, qkeys)
+
+    nblocks = npad // block
+    _, paths = jax.lax.scan(body, None,
+                            jnp.arange(nblocks, dtype=jnp.int32))
+    return paths.reshape(npad, max_step * parallel)
 
 
 class PlaintextEngine:

@@ -345,13 +345,60 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
             print(f"nn-descent round {r} done (mean top-{m} dist {md:.4f})",
                   flush=True)
 
-    # phase 2: candidate pool = widened final round + robust prune, on device
-    cand_size = int(1.5 * m) + m
-    key, sub = jax.random.split(key)
+    # phase 2: candidate pool = widened final round + robust prune, on device.
+    # The wide pool keeps the cand_size NEAREST candidates — on converged
+    # graphs that is purely local, and a purely local graph is unnavigable
+    # (beam search cannot route between well-separated clusters; measured
+    # recall DROPS as NN-descent converges). So the prune pool = nearest
+    # locals ‖ far random candidates appended UNFILTERED: the alpha-prune
+    # accepts far candidates exactly when local slots run dry (a far v is
+    # only blocked by accepted points near v), which is how DiskANN keeps
+    # its highway edges.
+    n_far = max(8, m // 2)
+    cand_local = int(1.5 * m) + m - n_far
+    key, sub, sub2, sub3, sub4 = jax.random.split(key, 5)
     wide_ids, wide_d = _nn_round_device(
         vectors_dev, sqn, graph_dev, sub,
-        nsn=2, n_random=16, block=blk, n_real=n, out_m=cand_size, wide=True)
-    pruned_dev = _prune_device(vectors_dev, wide_ids, wide_d, m=m, block=blk)
+        nsn=2, n_random=16, block=blk, n_real=n, out_m=cand_local, wide=True)
+    far = jax.random.randint(sub2, (npad, n_far), 0, n, jnp.int32)
+    far = jnp.where(far == jnp.arange(npad)[:, None], (far + 1) % n, far)
+    # dist values below are only validity markers for the prune (it
+    # recomputes true distances); far candidates are always valid
+    far_d = jnp.zeros((npad, n_far), wide_d.dtype)
+
+    # 2a. temporary NAVIGABLE graph: alpha-prune of locals + far randoms
+    # (the alpha rule keeps far edges exactly when local slots run dry)
+    nav = _prune_device(
+        vectors_dev, jnp.concatenate([wide_ids, far], axis=1),
+        jnp.concatenate([wide_d, far_d], axis=1), m=m, block=blk)
+    nav = jnp.where(nav < 0, jax.random.randint(
+        sub3, nav.shape, 0, n, jnp.int32), nav)
+    if verbose:
+        nav.block_until_ready()
+        print("nav graph done", flush=True)
+
+    # 2b. search-based candidates (the NGT/Vamana mechanism, SURVEY §7
+    # step 4): beam-search every vertex's own vector over the nav graph and
+    # keep the expansion corridor — connecting a vertex to its approach
+    # path is what creates durable navigation highways
+    from pacmann_tpu.graph.beam import search_paths_all
+
+    starts = jnp.asarray(
+        rng.choice(n, min(n, int(np.sqrt(n))), replace=False), jnp.int32)
+    paths = search_paths_all(
+        vectors_dev, nav, starts, sub4,
+        n=n, m=m, max_step=10, parallel=2, block=blk)
+    path_d = jnp.where(
+        (paths >= 0) & (paths != jnp.arange(npad)[:, None]),
+        jnp.zeros((), wide_d.dtype), jnp.inf)
+    if verbose:
+        paths.block_until_ready()
+        print("path candidates done", flush=True)
+
+    # 2c. final pool = locals ‖ corridors ‖ far randoms -> alpha-prune
+    pool_ids = jnp.concatenate([wide_ids, paths, far], axis=1)
+    pool_d = jnp.concatenate([wide_d, path_d, far_d], axis=1)
+    pruned_dev = _prune_device(vectors_dev, pool_ids, pool_d, m=m, block=blk)
     pruned = np.asarray(pruned_dev[:n]).astype(np.int64)
     if verbose:
         print("widen+prune done", flush=True)

@@ -113,7 +113,13 @@ class ClusterSearcher:
                                     np.arange(n_clusters) + 1)
 
     def search(self, queries: np.ndarray, k: int):
-        """-> ids (Q, k) int64; -1 padded for undersized clusters."""
+        """-> ids (Q, k) int64; -1 padded for undersized clusters.
+
+        Centroid routing is one device distance pass; the in-cluster scan
+        is host NumPy — each cluster holds ~sqrt(n) vectors, so the scan is
+        tiny and a per-query device call (whose member-count shape varies
+        per cluster, forcing a recompile each time) would cost far more
+        than it saves."""
         queries = np.asarray(queries, np.float32)
         cd = np.asarray(l2_distance_xla(jnp.asarray(queries),
                                         jnp.asarray(self.centroids)))
@@ -123,9 +129,8 @@ class ClusterSearcher:
             members = self.sorted_ids[self.starts[c] : self.ends[c]]
             if members.size == 0:
                 continue
-            d = np.asarray(l2_distance_xla(
-                jnp.asarray(queries[qi : qi + 1]),
-                jnp.asarray(self.vectors[members])))[0]
+            diff = self.vectors[members] - queries[qi]
+            d = np.einsum("md,md->m", diff, diff)
             top = np.argsort(d, kind="stable")[:k]
             out[qi, : top.size] = members[top]
         return out
