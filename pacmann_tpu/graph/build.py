@@ -216,6 +216,28 @@ def _kmeans_bootstrap(vectors, key, *, K: int, m: int, iters: int,
     cnt = jnp.maximum(sizes[l_of], 1)                    # (npad,)
     off = jax.random.randint(k_pick, (npad, m), 0, 1 << 30, jnp.int32)
     idx = starts[l_of][:, None] + off % cnt[:, None]
+    init = ids_s[jnp.clip(idx, 0, npad - 1)]
+    return init, labels, cent, ids_s, starts, sizes
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _ladder_candidates(labels, cent, ids_s, starts, sizes, key, *, L: int):
+    """Kleinberg-style distance-stratified long-range candidates: for each
+    vertex, one random member of the cell ranked 2^j (j=0..L-1) by centroid
+    distance from its own cell. Uniform random long edges do not support
+    efficient greedy routing at scale (recall degraded 65k -> 1M with far
+    edges alone); a geometric ladder of scales does."""
+    npad = labels.shape[0]
+    K = cent.shape[0]
+    cn = jnp.sum(cent * cent, axis=1)
+    cd = cn[None, :] - 2.0 * (cent @ cent.T)             # (K, K)
+    order = jnp.argsort(cd, axis=1)                      # row r: cells by dist
+    ladder = jnp.minimum(2 ** jnp.arange(L), K - 1)      # ranks 1,2,4,...
+    sel = order[:, ladder]                               # (K, L)
+    cells = sel[jnp.minimum(labels, K - 1)]              # (npad, L)
+    cnt = jnp.maximum(sizes[cells], 1)
+    off = jax.random.randint(key, cells.shape, 0, 1 << 30, jnp.int32)
+    idx = starts[cells] + off % cnt
     return ids_s[jnp.clip(idx, 0, npad - 1)]
 
 
@@ -328,8 +350,8 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     key = jax.random.PRNGKey(seed)
     key, kb = jax.random.split(key)
     K = max(16, min(4096, n // 256))
-    graph_dev = _kmeans_bootstrap(vectors_dev, kb, K=K, m=m, iters=2,
-                                  block=blk, n_real=n)
+    graph_dev, labels, cent, ids_s, cstarts, csizes = _kmeans_bootstrap(
+        vectors_dev, kb, K=K, m=m, iters=2, block=blk, n_real=n)
     if verbose:
         graph_dev.block_until_ready()
         print(f"kmeans bootstrap done (K={K})", flush=True)
@@ -366,11 +388,19 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     # recomputes true distances); far candidates are always valid
     far_d = jnp.zeros((npad, n_far), wide_d.dtype)
 
-    # 2a. temporary NAVIGABLE graph: alpha-prune of locals + far randoms
-    # (the alpha rule keeps far edges exactly when local slots run dry)
+    # distance-stratified long-range candidates from the bootstrap cells
+    key, sub5 = jax.random.split(key)
+    Lad = max(2, min(12, int(np.log2(max(K - 1, 4)))))
+    ladder = _ladder_candidates(labels, cent, ids_s, cstarts, csizes, sub5,
+                                L=Lad)
+    ladder_d = jnp.where(ladder != jnp.arange(npad)[:, None],
+                         jnp.zeros((), wide_d.dtype), jnp.inf)
+
+    # 2a. temporary NAVIGABLE graph: alpha-prune of locals + far randoms +
+    # the ladder (the alpha rule keeps far edges when local slots run dry)
     nav = _prune_device(
-        vectors_dev, jnp.concatenate([wide_ids, far], axis=1),
-        jnp.concatenate([wide_d, far_d], axis=1), m=m, block=blk)
+        vectors_dev, jnp.concatenate([wide_ids, ladder, far], axis=1),
+        jnp.concatenate([wide_d, ladder_d, far_d], axis=1), m=m, block=blk)
     nav = jnp.where(nav < 0, jax.random.randint(
         sub3, nav.shape, 0, n, jnp.int32), nav)
     if verbose:
@@ -387,7 +417,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         rng.choice(n, min(n, int(np.sqrt(n))), replace=False), jnp.int32)
     paths = search_paths_all(
         vectors_dev, nav, starts, sub4,
-        n=n, m=m, max_step=10, parallel=2, block=blk)
+        n=n, m=m, max_step=12, parallel=2, block=blk)
     path_d = jnp.where(
         (paths >= 0) & (paths != jnp.arange(npad)[:, None]),
         jnp.zeros((), wide_d.dtype), jnp.inf)
@@ -395,9 +425,9 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         paths.block_until_ready()
         print("path candidates done", flush=True)
 
-    # 2c. final pool = locals ‖ corridors ‖ far randoms -> alpha-prune
-    pool_ids = jnp.concatenate([wide_ids, paths, far], axis=1)
-    pool_d = jnp.concatenate([wide_d, path_d, far_d], axis=1)
+    # 2c. final pool = locals ‖ corridors ‖ ladder ‖ far -> alpha-prune
+    pool_ids = jnp.concatenate([wide_ids, paths, ladder, far], axis=1)
+    pool_d = jnp.concatenate([wide_d, path_d, ladder_d, far_d], axis=1)
     pruned_dev = _prune_device(vectors_dev, pool_ids, pool_d, m=m, block=blk)
     pruned = np.asarray(pruned_dev[:n]).astype(np.int64)
     if verbose:
