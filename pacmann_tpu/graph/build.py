@@ -34,33 +34,8 @@ import numpy as np
 ALPHA = 1.2  # build_graph.go:357
 
 
-def _pad_ids(ids: np.ndarray, block: int) -> np.ndarray:
-    """Pad a partial id block to the fixed block length (repeat last id) so
-    every device call shares one compiled shape; callers slice [:len(ids)]."""
-    if len(ids) == block:
-        return ids
-    return np.concatenate([ids, np.full(block - len(ids), ids[-1], ids.dtype)])
-
-
 # ---------------------------------------------------------------------------
 # batched candidate scoring
-
-
-@functools.partial(jax.jit, static_argnames=("m",))
-def _score_and_select(vectors, block_ids, cand_ids, m):
-    """For each vertex in block: top-m distinct candidates by L2 (no self)."""
-    q = vectors[block_ids]                             # (B, d)
-    cv = vectors[cand_ids]                             # (B, C, d)
-    d = jnp.sum((cv - q[:, None, :]) ** 2, axis=-1)    # (B, C)
-    # mask self and duplicates (keep first occurrence)
-    C = cand_ids.shape[1]
-    eq = cand_ids[:, :, None] == cand_ids[:, None, :]
-    lower = jnp.tril(jnp.ones((C, C), bool), k=-1)
-    dup = jnp.any(eq & lower, axis=2)
-    bad = dup | (cand_ids == block_ids[:, None])
-    d = jnp.where(bad, jnp.inf, d)
-    negd, idx = jax.lax.top_k(-d, m)
-    return jnp.take_along_axis(cand_ids, idx, axis=1), -negd
 
 
 def _select_topk_sorted(vectors, sqn, q, self_ids, cand, out_m):
@@ -239,6 +214,78 @@ def _ladder_candidates(labels, cent, ids_s, starts, sizes, key, *, L: int):
     off = jax.random.randint(key, cells.shape, 0, 1 << 30, jnp.int32)
     idx = starts[cells] + off % cnt
     return ids_s[jnp.clip(idx, 0, npad - 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("n_real", "m", "cap"))
+def _conn_lists_device(pruned, key, *, n_real: int, m: int, cap: int):
+    """Degree-regularization edge pipeline on device (build_graph.go:414-452):
+    bidirectionalize, keep edge x->y w.p. min(1.5m/inbound[y], 1), dedup,
+    and scatter each vertex's survivors into a cap-bounded connection list
+    (random subset for mega-hubs). Returns (conn (npad, cap) i32 -1-padded,
+    counts (npad,) i32 = min(list length, cap)).
+
+    The host NumPy version of this (lexsorts over 2*n*m edges) dominated
+    build wall-clock at n=1e6 on the 1-vCPU host; here it is two device
+    sorts. `pruned` rows >= n_real are ignored.
+    """
+    npad = pruned.shape[0]
+    E = npad * m
+    SENT = jnp.int32(n_real)  # sentinel group: dropped edges sort last
+    k1, k2 = jax.random.split(key)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (npad, m), 0)
+    valid = (pruned >= 0) & (rows < n_real)
+    src = rows.reshape(-1)
+    dst = jnp.where(valid, pruned, -1).reshape(-1)
+    bsrc = jnp.concatenate([src, jnp.where(dst < 0, SENT, dst)])
+    bdst = jnp.concatenate([jnp.where(dst < 0, SENT, dst), src])
+    bad = (bsrc >= n_real) | (bdst >= n_real) | (bsrc == bdst)
+    bsrc = jnp.where(bad, SENT, bsrc)
+    bdst_c = jnp.minimum(bdst, SENT)
+    inbound = jnp.zeros(n_real + 1, jnp.float32).at[
+        jnp.where(bad, SENT, bdst_c)].add(1.0)
+    keepp = jnp.minimum(
+        1.5 * m / jnp.maximum(inbound[bdst_c], 1.0), 1.0)
+    u = jax.random.uniform(k1, (2 * E,))
+    bsrc = jnp.where(u >= keepp, SENT, bsrc)
+    # dedup: sort by (src, dst), mask consecutive duplicates
+    s1, d1 = jax.lax.sort((bsrc, bdst_c), num_keys=2)
+    dup = jnp.concatenate([
+        jnp.zeros(1, bool), (s1[1:] == s1[:-1]) & (d1[1:] == d1[:-1])])
+    s1 = jnp.where(dup, SENT, s1)
+    # random within-group order, then rank -> capped scatter
+    tie = jax.random.bits(k2, (2 * E,), jnp.uint32)
+    s2, _, d2 = jax.lax.sort((s1, tie, d1), num_keys=2)
+    starts = jnp.searchsorted(s2, jnp.arange(n_real + 1, dtype=jnp.int32))
+    rank = jnp.arange(2 * E, dtype=jnp.int32) - starts[jnp.minimum(s2, SENT)]
+    slot = jnp.where((rank < cap) & (s2 < n_real), rank, cap)
+    conn = jnp.full((npad, cap + 1), -1, jnp.int32).at[
+        jnp.minimum(s2, npad - 1), slot].set(d2, mode="drop")[:, :cap]
+    sizes = jnp.diff(starts)                              # (n_real,)
+    counts = jnp.zeros(npad, jnp.int32).at[:n_real].set(
+        jnp.minimum(sizes, cap).astype(jnp.int32))
+    return conn, counts
+
+
+@functools.partial(jax.jit, static_argnames=("m", "block"))
+def _prune_or_keep_device(vectors, conn, counts, *, m: int, block: int):
+    """Over-degree vertices get robust-pruned down to m; vertices with <= m
+    connections keep their full list (build_graph.go:453-455 keeps
+    under-degree lists untouched). -> (npad, m) i32, -1 padded."""
+    npad, cap = conn.shape
+    nblocks = npad // block
+
+    def body(carry, b):
+        ids = b * block + jnp.arange(block, dtype=jnp.int32)
+        cnd = jax.lax.dynamic_slice(conn, (b * block, 0), (block, cap))
+        cnt = jax.lax.dynamic_slice(counts, (b * block,), (block,))
+        valid = cnd >= 0
+        pruned, _cnt2 = _robust_prune_batch(
+            vectors, ids, jnp.maximum(cnd, 0), valid, m)
+        out = jnp.where((cnt <= m)[:, None], cnd[:, :m], pruned)
+        return carry, out
+
+    _, out = jax.lax.scan(body, None, jnp.arange(nblocks, dtype=jnp.int32))
+    return out.reshape(npad, m)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "block"))
@@ -429,108 +476,27 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     pool_ids = jnp.concatenate([wide_ids, paths, ladder, far], axis=1)
     pool_d = jnp.concatenate([wide_d, path_d, ladder_d, far_d], axis=1)
     pruned_dev = _prune_device(vectors_dev, pool_ids, pool_d, m=m, block=blk)
-    pruned = np.asarray(pruned_dev[:n]).astype(np.int64)
     if verbose:
+        pruned_dev.block_until_ready()
         print("widen+prune done", flush=True)
 
-    # phase 3: reference degree regularization (build_graph.go:414-484)
-    # (padded vector rows are never indexed: all ids in `pruned` are < n)
-    graph = _degree_regularize(vectors_dev, pruned, m, rng,
-                               max(block, 4096), verbose)
+    # phase 3: reference degree regularization (build_graph.go:414-484),
+    # edge pipeline + over-degree prune on device, random fill on host
+    key, kr = jax.random.split(key)
+    conn, counts = _conn_lists_device(pruned_dev, kr, n_real=n, m=m,
+                                      cap=max(4 * m, 128))
+    out_dev = _prune_or_keep_device(vectors_dev, conn, counts, m=m,
+                                    block=blk)
+    out = np.asarray(out_dev[:n]).astype(np.int64)
+    graph = _random_fill(out, m, rng, verbose)
     return graph.astype(np.int32)
 
 
-def _degree_regularize(vectors_dev, graph: np.ndarray, m: int, rng,
-                       block: int, verbose: bool = False) -> np.ndarray:
-    n = graph.shape[0]
-    valid = graph >= 0
-
-    # bidirectionalize (build_graph.go:414-424): u keeps its out-edges and
-    # gains an in-edge from every v it points to.
-    src = np.repeat(np.arange(n), m)[valid.reshape(-1)]
-    dst = graph.reshape(-1)[valid.reshape(-1)]
-    bi_src = np.concatenate([src, dst])
-    bi_dst = np.concatenate([dst, src])
-    inbound = np.bincount(bi_dst, minlength=n).astype(np.float64)
-
-    # keep edge u->v with prob min(1.5m/inbound[v], 1) (build_graph.go:442-452)
-    prob = np.minimum(1.5 * m / np.maximum(inbound[bi_dst], 1.0), 1.0)
-    keep = rng.random(bi_src.shape[0]) < prob
-    bi_src, bi_dst = bi_src[keep], bi_dst[keep]
-
-    # per-vertex connection lists, fully vectorized: sort (src, dst) pairs,
-    # drop duplicate edges and self loops via consecutive-diff masks, then
-    # scatter each vertex's survivors by within-group rank
-    order = np.lexsort((bi_dst, bi_src))
-    bi_src, bi_dst = bi_src[order], bi_dst[order]
-    uniq = np.ones(len(bi_src), bool)
-    uniq[1:] = (bi_src[1:] != bi_src[:-1]) | (bi_dst[1:] != bi_dst[:-1])
-    keep_e = uniq & (bi_src != bi_dst)
-    bi_src, bi_dst = bi_src[keep_e], bi_dst[keep_e]
-    counts = np.bincount(bi_src, minlength=n)
-    max_c = max(int(counts.max()) if len(counts) else m, m)
-    # cap each vertex's connection list at a RANDOM subset: mega-hubs can
-    # collect tens of thousands of in-edges, and an (n, max_c) host array
-    # explodes at n=1e6; the hub prune pool is re-narrowed to the CAP
-    # nearest below anyway, so a random pre-subset only thins extreme hubs
-    CAP_CONN = max(16 * m, 512)
-    if max_c > CAP_CONN:
-        order2 = np.lexsort((rng.random(len(bi_src)), bi_src))
-        bi_src, bi_dst = bi_src[order2], bi_dst[order2]
-        max_c = CAP_CONN
-    starts = np.searchsorted(bi_src, np.arange(n))
-    rank = np.arange(len(bi_src)) - starts[bi_src]
-    within = rank < max_c
-    conn = np.full((n, max_c), -1, np.int64)
-    conn[bi_src[within], rank[within]] = bi_dst[within]
-
-    out = np.full((n, m), -1, np.int64)
-    over = np.flatnonzero((conn >= 0).sum(1) > m)
-    under = np.flatnonzero((conn >= 0).sum(1) <= m)
-
-    # Hub vertices can have thousands of inbound edges; cap the prune pool
-    # at the CAP nearest candidates first (the greedy alpha-accept for m
-    # slots virtually never reaches past the ~4m closest), otherwise the
-    # (B, C, C) pairwise tensors blow up device memory at scale.
-    CAP = max(4 * m, 64)
-    if conn.shape[1] > CAP and len(over):
-        narrowed = np.full((len(over), CAP), -1, np.int64)
-        # memory-bounded block size for the (B, max_c, d) gather
-        nb = max(256, min(block, (1 << 30) // max(conn.shape[1] * 512, 1)))
-        for b0 in range(0, len(over), nb):
-            ids = over[b0 : b0 + nb]
-            idp = _pad_ids(ids, min(nb, len(over)))
-            cand = conn[idp]
-            cand = np.where(cand >= 0, cand, idp[:, None])  # self = masked
-            sel, dist = _score_and_select(
-                vectors_dev, jnp.asarray(idp), jnp.asarray(cand), CAP)
-            sel = np.asarray(sel).copy()
-            sel[~np.isfinite(np.asarray(dist))] = -1
-            narrowed[b0 : b0 + len(ids)] = sel[: len(ids)]
-        conn_over = narrowed
-    else:
-        conn_over = conn[over] if len(over) else conn[:0]
-
-    # over-degree: robust prune down to m (build_graph.go:453-455)
-    C_over = conn_over.shape[1] if len(over) else m
-    blk = max(256, min(block, n, (1 << 30) // max(C_over * C_over * 4, 1)))
-    for b0 in range(0, len(over), blk):
-        ids = over[b0 : b0 + blk]
-        idp = _pad_ids(ids, min(blk, len(over)))
-        cand = conn_over[b0 : b0 + blk]
-        if len(cand) < len(idp):
-            cand = np.concatenate(
-                [cand, np.full((len(idp) - len(cand), cand.shape[1]), -1,
-                               np.int64)])
-        valid_c = cand >= 0
-        res, _ = _robust_prune_batch(
-            vectors_dev, jnp.asarray(idp), jnp.asarray(np.maximum(cand, 0)),
-            jnp.asarray(valid_c), m,
-        )
-        out[ids] = np.asarray(res)[: len(ids)]
-
-    out[under, :] = conn[under, :m]
-
+def _random_fill(out: "np.ndarray", m: int, rng,
+                 verbose: bool = False) -> "np.ndarray":
+    """Random-fill every under-degree row to exactly m distinct non-self
+    edges (build_graph.go:457-475). Host NumPy: the deficit set is tiny."""
+    n = out.shape[0]
     # random fill to exactly m (build_graph.go:457-475), vectorized:
     # resample empty slots, invalidate self/duplicates, retry (converges in
     # a couple of rounds when n >> m); a scalar fallback mops up stragglers
