@@ -228,11 +228,11 @@ def _conn_lists_device(pruned, key, *, n_real: int, m: int, cap: int):
     build wall-clock at n=1e6 on the 1-vCPU host; here it is two device
     sorts. `pruned` rows >= n_real are ignored.
     """
-    npad = pruned.shape[0]
-    E = npad * m
+    npad, mw = pruned.shape      # mw = row width; m only sets the keep prob
+    E = npad * mw
     SENT = jnp.int32(n_real)  # sentinel group: dropped edges sort last
     k1, k2 = jax.random.split(key)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (npad, m), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (npad, mw), 0)
     valid = (pruned >= 0) & (rows < n_real)
     src = rows.reshape(-1)
     dst = jnp.where(valid, pruned, -1).reshape(-1)

@@ -1,0 +1,80 @@
+"""Device graph-build pieces vs NumPy oracles: the degree-regularization
+edge pipeline (_conn_lists_device) and the bootstrap cell-init invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pacmann_tpu.graph.build import (
+    _conn_lists_device,
+    _kmeans_bootstrap,
+    _prune_or_keep_device,
+)
+
+
+def test_conn_lists_device_matches_oracle():
+    """Bidirectionalize + dedup + cap, with keep-prob forced to 1 (so the
+    random sampling is inert and the result is deterministic)."""
+    rng = np.random.default_rng(3)
+    n, m, cap = 64, 4, 16
+    pruned = rng.integers(0, n, size=(n, m)).astype(np.int32)
+    pruned[pruned == np.arange(n)[:, None]] = -1  # some invalid slots
+    pruned[0, :2] = -1
+
+    # m' chosen so 1.5*m' >= any possible inbound -> keep prob 1 everywhere:
+    # _conn_lists_device's keep prob uses the m it is given; pass m big.
+    conn, counts = _conn_lists_device(
+        jnp.asarray(pruned), jax.random.PRNGKey(0),
+        n_real=n, m=10 * n, cap=cap)
+    conn = np.asarray(conn)
+    counts = np.asarray(counts)
+
+    # oracle: per-vertex set of bidirectional neighbors
+    want = [set() for _ in range(n)]
+    for u in range(n):
+        for v in pruned[u]:
+            if v >= 0 and v != u:
+                want[u].add(int(v))
+                want[int(v)].add(u)
+    for u in range(n):
+        got = set(int(x) for x in conn[u] if x >= 0)
+        expect = want[u] if len(want[u]) <= cap else None
+        assert counts[u] == min(len(want[u]), cap), u
+        if expect is not None:
+            assert got == expect, u
+        else:
+            assert len(got) == cap and got <= want[u], u
+
+
+def test_prune_or_keep_under_degree_untouched():
+    """Vertices with <= m connections keep their full list verbatim."""
+    rng = np.random.default_rng(4)
+    n, d, m, cap = 32, 8, 4, 8
+    v = rng.random((n, d)).astype(np.float32)
+    conn = np.full((n, cap), -1, np.int32)
+    counts = np.zeros(n, np.int32)
+    for u in range(n):
+        c = rng.choice([x for x in range(n) if x != u], size=3, replace=False)
+        conn[u, :3] = c
+        counts[u] = 3
+    out = np.asarray(_prune_or_keep_device(
+        jnp.asarray(v), jnp.asarray(conn), jnp.asarray(counts),
+        m=m, block=n))
+    assert np.array_equal(out[:, :3], conn[:, :3])
+    assert np.all(out[:, 3:] == -1)
+
+
+def test_kmeans_bootstrap_rows_are_cell_members():
+    rng = np.random.default_rng(5)
+    n, d, m, K = 512, 16, 8, 16
+    v = rng.random((n, d)).astype(np.float32)
+    init, labels, cent, ids_s, starts, sizes = _kmeans_bootstrap(
+        jnp.asarray(v), jax.random.PRNGKey(1), K=K, m=m, iters=2,
+        block=n, n_real=n)
+    init = np.asarray(init)
+    labels = np.asarray(labels)
+    assert init.shape == (n, m)
+    assert np.all(init >= 0) and np.all(init < n)
+    # every initial neighbor shares the vertex's cell
+    same = labels[init] == labels[:, None]
+    assert float(same.mean()) > 0.99
