@@ -17,6 +17,8 @@ one fused program for hint generation. Also reports the online batch latency
 Environment knobs:
   PACMANN_BENCH_N        entries (default 1_000_000)
   PACMANN_BENCH_SMALL=1  quick CI-sized run (n=65_536)
+  PACMANN_BENCH_LINEAR=1 the paper's 100M-u32-dot linear-scan baseline
+                         (graphann_test.go:249-283) as one MXU pass
   PACMANN_BENCH_BIG=1    reference TestBatchPIRPerf config instead
                          (n=3,201,821 x 896 B, batch 32 — the largest
                          config the reference perf-tests; prints prep time,
@@ -115,7 +117,43 @@ def big_perf() -> int:
     return 0
 
 
+def linear_scan() -> int:
+    """The paper's optimized linear-scan baseline: wall-clock of 100M
+    128-dim u32 dot products (graphann_test.go:249-283, README:30-32),
+    here as one int32 matmul pass on the MXU."""
+    import jax
+    import jax.numpy as jnp
+
+    from pacmann_tpu.ops.distance import inner_product_xla
+
+    rng = np.random.default_rng(0)
+    n, d, q = 1_000_000, 128, 100          # 100M dots
+    v = jnp.asarray(rng.integers(0, 2**16, size=(n, d), dtype=np.uint32))
+    qs = jnp.asarray(rng.integers(0, 2**16, size=(q, d), dtype=np.uint32))
+    np.asarray(inner_product_xla(qs, v)[-1, -1])  # compile
+    t0 = time.perf_counter()
+    out = inner_product_xla(qs, v)
+    np.asarray(out[-1, -1])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "linear_scan_100m_u32_dots",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": 0,
+        "extra": {
+            "dots": n * q,
+            "gdots_per_s": round(n * q / dt / 1e9, 2),
+            "platform": jax.devices()[0].platform,
+            "note": "reference prints this from TestInnerProduct; no "
+                    "number recorded in its repo",
+        },
+    }))
+    return 0
+
+
 def main() -> int:
+    if os.environ.get("PACMANN_BENCH_LINEAR"):
+        return linear_scan()
     if os.environ.get("PACMANN_BENCH_BIG"):
         return big_perf()
     n = int(os.environ.get("PACMANN_BENCH_N", "1000000"))

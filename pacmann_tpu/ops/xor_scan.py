@@ -122,6 +122,28 @@ def xor_gather_multi(db4, offsets, k: int):
     return jnp.moveaxis(red, 0, 1)                        # (Q, P, k, 128)
 
 
+def xor_server_scan(db4, qs, k: int):
+    """The server's online batch scan: db4 (S, P, C*k, 128), qs (Q, P, S)
+    u32 offset vectors -> (Q, P, k, 128) parities.
+
+    On TPU this routes through the one-hot-matmul kernel (as hint-gen
+    does): the flat random-row gather measured only ~6 GB/s effective at
+    group-16 shapes (33 ms/call — the fused-search bottleneck), while the
+    MM kernel streams every chunk once at HBM rate and does row selection
+    on the MXU (~2 ms). Elsewhere (CPU tests) the gather path is used;
+    both are bit-identical.
+    """
+    from pacmann_tpu.utils.platform import on_tpu
+
+    Q, P, S = qs.shape
+    if not on_tpu():
+        return xor_gather_multi(db4, qs, k)
+    table = jnp.transpose(qs, (1, 0, 2))                 # (P, Q, S)
+    skip = jnp.zeros(table.shape, bool)
+    out = xor_hintgen_mm(db4, table, skip, k)            # (P, Q, k*128)
+    return jnp.transpose(out, (1, 0, 2)).reshape(Q, P, k, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def xor_scan_parts(db4, offsets, skip, k: int):
     """Partition-major chunk-streaming XOR scan (hint generation):

@@ -262,13 +262,13 @@ def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
     partition this changes the hit distribution negligibly and only ever
     reduces reuse; the failure bound is unaffected.
     """
-    from pacmann_tpu.ops.xor_scan import xor_gather_multi
+    from pacmann_tpu.ops.xor_scan import xor_server_scan
 
     Ep = k * 128
     Q, P = idx_q.shape
     sel, qs = _pir_select(table, repl_idx, carry, idx_q, rnd_q,
                           C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
-    resp = xor_gather_multi(db, qs, k).reshape(Q, P, Ep)
+    resp = xor_server_scan(db, qs, k).reshape(Q, P, Ep)
     return _pir_finish(repl_val, bpar, table, carry, sel, resp,
                        C=C, R=R, Hp=Hp, S=S, k=k, dpp=dpp)
 
@@ -315,10 +315,10 @@ def _select_step(state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
 def _server_answer(db, qs, *, k):
     """The server's ENTIRE online compute (pir.go:65-88): answer (Q, P, S)
     offset vectors with one XOR parity per sub-query."""
-    from pacmann_tpu.ops.xor_scan import xor_gather_multi
+    from pacmann_tpu.ops.xor_scan import xor_server_scan
 
     Q, P, S = qs.shape
-    return xor_gather_multi(db, qs, k).reshape(Q, P, k * 128)
+    return xor_server_scan(db, qs, k).reshape(Q, P, k * 128)
 
 
 @functools.partial(

@@ -55,7 +55,8 @@ def main():
     idx = rng.integers(0, c.partition_size, size=(quota, P)).astype(np.int32)
     rnd = (rng.integers(0, 2**31, size=(quota, P, S), dtype=np.int64)
            % C).astype(np.uint32)
-    eng._online(jnp.asarray(idx), jnp.asarray(rnd))  # compile (donates state)
+    st, e, ok = eng._online(jnp.asarray(idx), jnp.asarray(rnd))  # compile
+    eng.state = st   # the call donates the state buffers; must reassign
     t0 = time.perf_counter()
     for i in range(20):
         st, e, ok = eng._online(jnp.asarray(idx), jnp.asarray(rnd))

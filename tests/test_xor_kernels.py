@@ -105,3 +105,23 @@ def test_pallas_hintgen_interpret():
     for p in range(P):
         want = xor_scan_np(db4[:, p], off[p], skip[p], k)
         assert np.array_equal(got[p], want), p
+
+
+def test_server_scan_mm_route_matches_gather():
+    """xor_server_scan's TPU route (one-hot-matmul with a zero skip mask,
+    plus the (Q,P,S)<->(P,Q,S) transposes) must be bit-identical to the
+    gather path it replaces. Exercised here in interpret mode."""
+    import jax.numpy as jnp
+
+    from pacmann_tpu.ops.xor_scan import xor_gather_multi, xor_hintgen_mm
+
+    rng = np.random.default_rng(9)
+    S, P, C, k, Q = 4, 2, 8, 2, 5
+    db4 = rng.integers(0, 2**32, size=(S, P, C * k, 128), dtype=np.uint32)
+    qs = rng.integers(0, C, size=(Q, P, S), dtype=np.uint32)
+    want = np.asarray(xor_gather_multi(db4, qs, k)).reshape(Q, P, k * 128)
+    table = jnp.transpose(jnp.asarray(qs), (1, 0, 2))
+    skip = jnp.zeros(table.shape, bool)
+    got = np.asarray(jnp.transpose(
+        xor_hintgen_mm(db4, table, skip, k), (1, 0, 2)))
+    assert np.array_equal(got, want)
