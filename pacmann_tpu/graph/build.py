@@ -478,7 +478,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         rng.choice(n, min(n, int(np.sqrt(n))), replace=False), jnp.int32)
     paths = search_paths_all(
         vectors_dev, nav, starts, sub4,
-        n=n, m=m, max_step=12, parallel=2, block=blk)
+        n=n, m=m, max_step=16, parallel=2, block=min(blk, 1024))
     path_d = jnp.where(
         (paths >= 0) & (paths != jnp.arange(npad)[:, None]),
         jnp.zeros((), wide_d.dtype), jnp.inf)
