@@ -126,17 +126,20 @@ def xor_server_scan(db4, qs, k: int):
     """The server's online batch scan: db4 (S, P, C*k, 128), qs (Q, P, S)
     u32 offset vectors -> (Q, P, k, 128) parities.
 
-    On TPU this routes through the one-hot-matmul kernel (as hint-gen
-    does): the flat random-row gather measured only ~6 GB/s effective at
-    group-16 shapes (33 ms/call — the fused-search bottleneck), while the
-    MM kernel streams every chunk once at HBM rate and does row selection
-    on the MXU (~2 ms). Elsewhere (CPU tests) the gather path is used;
-    both are bit-identical.
+    On TPU, LARGE batches route through the one-hot-matmul kernel (as
+    hint-gen does): the flat random-row gather measured only ~6 GB/s
+    effective at group-16 shapes (33 ms/call — the fused-search
+    bottleneck), while the MM kernel streams every chunk once at HBM rate
+    and does row selection on the MXU (~2 ms). SMALL batches keep the
+    gather: the MM kernel's full-DB stream is a fixed ~2 ms floor that
+    loses to a sub-millisecond 12 MB gather (group-1 fused regressed
+    39 -> 77 ms when MM was unconditional). Both are bit-identical.
     """
     from pacmann_tpu.utils.platform import on_tpu
 
     Q, P, S = qs.shape
-    if not on_tpu():
+    gathered = Q * P * S * k * 512          # bytes the gather touches
+    if not on_tpu() or gathered < (64 << 20):
         return xor_gather_multi(db4, qs, k)
     table = jnp.transpose(qs, (1, 0, 2))                 # (P, Q, S)
     skip = jnp.zeros(table.shape, bool)
