@@ -86,6 +86,20 @@ def main():
     print(f"per-step split: scan {tA*1000:.2f} + client "
           f"{max(tB - tA, 0)*1000:.2f} + beam "
           f"{max(tC/20 - tB, 0)*1000:.2f} ms", flush=True)
+    group32(fs, rng, dim)
+
+
+def group32(fs, rng, dim):
+    import time as _t
+    q32 = rng.random((32, dim), dtype=np.float32)
+    fs.search(q32, k=10, max_step=20, parallel=3, seed=40)  # compile
+    ts = []
+    for rep in range(3):
+        t0 = _t.perf_counter()
+        fs.search(q32, k=10, max_step=20, parallel=3, seed=41 + rep)
+        ts.append(_t.perf_counter() - t0)
+    print(f"D fused32 total: {min(ts)*1000:.1f} ms "
+          f"({min(ts)*1000/32:.2f} ms/query)", flush=True)
 
 
 if __name__ == "__main__":
