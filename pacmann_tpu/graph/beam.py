@@ -200,15 +200,19 @@ def search_paths_all(vectors, graph, start_ids, key, *,
         return popped.reshape(max_step * parallel)
 
     def body(carry, b):
-        q = jax.lax.dynamic_slice(
-            vectors, (b * block, 0), (block, vectors.shape[1]))
+        # clipped gather instead of dynamic_slice: the last block may run
+        # past npad (ceil-div grid); rows clipped to npad-1 produce throwaway
+        # duplicates that the caller's [:npad] slice drops.
+        ids_b = jnp.clip(b * block + jnp.arange(block, dtype=jnp.int32),
+                         0, npad - 1)
+        q = vectors[ids_b]
         qkeys = jax.random.split(jax.random.fold_in(key, b), block)
         return carry, jax.vmap(one_query)(q, qkeys)
 
-    nblocks = npad // block
+    nblocks = -(-npad // block)
     _, paths = jax.lax.scan(body, None,
                             jnp.arange(nblocks, dtype=jnp.int32))
-    return paths.reshape(npad, max_step * parallel)
+    return paths.reshape(nblocks * block, max_step * parallel)[:npad]
 
 
 class PlaintextEngine:

@@ -462,8 +462,10 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     nav = _prune_device(
         vectors_dev, jnp.concatenate([wide_ids, ladder, far], axis=1),
         jnp.concatenate([wide_d, ladder_d, far_d], axis=1), m=m, block=blk)
-    nav = jnp.where(nav < 0, jax.random.randint(
-        sub3, nav.shape, 0, n, jnp.int32), nav)
+    nav_fill = jax.random.randint(sub3, nav.shape, 0, n, jnp.int32)
+    nav_fill = jnp.where(nav_fill == jnp.arange(npad)[:, None],
+                         (nav_fill + 1) % n, nav_fill)
+    nav = jnp.where(nav < 0, nav_fill, nav)
     if verbose:
         nav.block_until_ready()
         print("nav graph done", flush=True)

@@ -122,7 +122,16 @@ def xor_gather_multi(db4, offsets, k: int):
     return jnp.moveaxis(red, 0, 1)                        # (Q, P, k, 128)
 
 
-def xor_server_scan(db4, qs, k: int):
+# Measured crossover between the two online server-scan strategies: below
+# this many gathered bytes the flat gather beats the MM kernel's fixed
+# full-DB-stream floor (~2 ms); above it the gather's ~6 GB/s effective rate
+# loses. Routing is decided at TRACE time, so it is pinned per compiled
+# shape for the process lifetime (jit cache keyed on shapes) — which is the
+# desired behavior: a given batch shape always takes the same path.
+_MM_ROUTE_BYTES = 64 << 20
+
+
+def xor_server_scan(db4, qs, k: int, route: str | None = None):
     """The server's online batch scan: db4 (S, P, C*k, 128), qs (Q, P, S)
     u32 offset vectors -> (Q, P, k, 128) parities.
 
@@ -133,13 +142,21 @@ def xor_server_scan(db4, qs, k: int):
     and does row selection on the MXU (~2 ms). SMALL batches keep the
     gather: the MM kernel's full-DB stream is a fixed ~2 ms floor that
     loses to a sub-millisecond 12 MB gather (group-1 fused regressed
-    39 -> 77 ms when MM was unconditional). Both are bit-identical.
+    39 -> 77 ms when MM was unconditional). Both are bit-identical
+    (test_server_scan_mm_route_matches_gather covers both on CPU).
+
+    route: None = auto (size/platform heuristic, see _MM_ROUTE_BYTES);
+    "mm" / "gather" force a path (tests exercise the TPU-default MM branch
+    off-TPU this way; off-TPU the MM kernel runs interpreted).
     """
     from pacmann_tpu.utils.platform import on_tpu
 
     Q, P, S = qs.shape
     gathered = Q * P * S * k * 512          # bytes the gather touches
-    if not on_tpu() or gathered < (64 << 20):
+    if route is None:
+        route = ("mm" if on_tpu() and gathered >= _MM_ROUTE_BYTES
+                 else "gather")
+    if route == "gather":
         return xor_gather_multi(db4, qs, k)
     table = jnp.transpose(qs, (1, 0, 2))                 # (P, Q, S)
     skip = jnp.zeros(table.shape, bool)

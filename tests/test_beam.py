@@ -75,6 +75,18 @@ def test_built_graph_beats_random_graph():
     assert r_built > r_rand + 0.2, (r_built, r_rand)
 
 
+def test_build_graph_n_not_block_multiple():
+    """n in (1024, 2048) not a multiple of the 1024 search block used to
+    crash search_paths_all (nblocks floor-div reshape); build_graph must
+    work for any n (ADVICE r2, medium)."""
+    rng = np.random.default_rng(5)
+    n, m = 1500, 8
+    vectors = rng.random((n, 12), dtype=np.float32)
+    graph = np.asarray(build_graph(vectors, m, rounds=2, seed=5))
+    assert graph.shape == (n, m)
+    assert np.all(graph >= 0) and np.all(graph < n)
+
+
 def test_graph_degree_invariants():
     vectors, graph, _ = _data()
     n, m = graph.shape

@@ -108,20 +108,19 @@ def test_pallas_hintgen_interpret():
 
 
 def test_server_scan_mm_route_matches_gather():
-    """xor_server_scan's TPU route (one-hot-matmul with a zero skip mask,
-    plus the (Q,P,S)<->(P,Q,S) transposes) must be bit-identical to the
-    gather path it replaces. Exercised here in interpret mode."""
-    import jax.numpy as jnp
-
-    from pacmann_tpu.ops.xor_scan import xor_gather_multi, xor_hintgen_mm
+    """xor_server_scan's TPU-default route (one-hot-matmul with a zero skip
+    mask, plus the (Q,P,S)<->(P,Q,S) transposes) must be bit-identical to
+    the gather path it replaces. Forced via route="mm" so the ACTUAL
+    routing branch — TPU-only by default — runs off-TPU (interpret mode)."""
+    from pacmann_tpu.ops.xor_scan import xor_server_scan
 
     rng = np.random.default_rng(9)
     S, P, C, k, Q = 4, 2, 8, 2, 5
     db4 = rng.integers(0, 2**32, size=(S, P, C * k, 128), dtype=np.uint32)
     qs = rng.integers(0, C, size=(Q, P, S), dtype=np.uint32)
-    want = np.asarray(xor_gather_multi(db4, qs, k)).reshape(Q, P, k * 128)
-    table = jnp.transpose(jnp.asarray(qs), (1, 0, 2))
-    skip = jnp.zeros(table.shape, bool)
-    got = np.asarray(jnp.transpose(
-        xor_hintgen_mm(db4, table, skip, k), (1, 0, 2)))
+    want = np.asarray(xor_server_scan(db4, qs, k, route="gather"))
+    got = np.asarray(xor_server_scan(db4, qs, k, route="mm"))
     assert np.array_equal(got, want)
+    # and the auto route off-TPU is the gather path
+    auto = np.asarray(xor_server_scan(db4, qs, k))
+    assert np.array_equal(auto, want)
