@@ -131,27 +131,39 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
 
     # ---- Phase A: fully vectorized slot selection (see _pir_batch doc).
     p_ix2 = jnp.broadcast_to(jnp.arange(P)[None, :], (Q, P))
-    q_ix = jnp.broadcast_to(
-        jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, P))
     col_all = slot_col[p_ix2, chunk_q]                 # (Q, P, Hp)
     elig = (col_all == off_q[..., None]) & (
         ~prog_set[None] | (prog_chunk[None] != chunk_q[..., None]))
     elig &= real_q[..., None]
 
+    # Scatter-free repair loop: TPU scatters whose indices may collide
+    # (the old claim/taken .at[] updates) lower to SERIALIZED per-row
+    # updates — ~1.5k sequential writes per op was the dominant per-step
+    # cost of the fused search. The same first-q-wins semantics falls out
+    # of a (Q, Q, P) comparison and a dense one-hot un-eligibility mask,
+    # all parallel vector ops. Bit-identical to the sequential claim loop.
     _REPAIR = 6
-    taken = jnp.zeros((P, Hp), bool)
+    q_iota = jnp.arange(Q, dtype=jnp.int32)
+    earlier = q_iota[None, :] < q_iota[:, None]      # [q, q'] = q' before q
+    h_iota = jnp.arange(Hp, dtype=jnp.int32)
     hit_q = jnp.zeros((Q, P), jnp.int32)
     resolved = jnp.zeros((Q, P), bool)
     for _ in range(_REPAIR):
-        elig_eff = elig & ~taken[None] & ~resolved[..., None]
+        elig_eff = elig & ~resolved[..., None]
         cand_hit = jnp.argmax(elig_eff, axis=2).astype(jnp.int32)
         cand_found = jnp.any(elig_eff, axis=2)
-        claim = jnp.full((P, Hp), Q, jnp.int32).at[p_ix2, cand_hit].min(
-            jnp.where(cand_found, q_ix, Q))
-        won = cand_found & (claim[p_ix2, cand_hit] == q_ix)
+        # q wins its candidate slot iff no earlier q' candidates it too
+        same = cand_hit[:, None, :] == cand_hit[None, :, :]   # (Q, Q, P)
+        blocked = jnp.any(
+            same & cand_found[None, :, :] & earlier[:, :, None], axis=1)
+        won = cand_found & ~blocked
         hit_q = jnp.where(won, cand_hit, hit_q)
         resolved |= won
-        taken = taken.at[p_ix2, cand_hit].max(won)
+        # won slots leave the eligibility mask for the next pass
+        newly = jnp.any(
+            won[..., None] & (h_iota[None, None, :] == cand_hit[..., None]),
+            axis=0)                                           # (P, Hp)
+        elig &= ~newly[None]
     found_q = resolved
 
     # ---- budgets, assigned by round order
@@ -204,23 +216,35 @@ def _pir_finish(repl_val, bpar, table, carry, sel, resp,
     btag = Hp + chunk_q * R + ig_q                       # (Q, P)
     bp = bpar[p_ix, btag - Hp]
     new_par = bp ^ entries
-    # masked scatter: failed rounds write out-of-bounds -> dropped
-    hit_w = jnp.where(ok_q, hit_q, Hp)
+    # masked scatter: failed rounds write DISTINCT out-of-bounds indices
+    # (Hp + row) -> dropped. Distinctness matters: the ok rows' slots are
+    # unique per partition by the reservation invariant, so with unique
+    # failure indices every scatter below is provably collision-free and
+    # XLA emits a parallel scatter (colliding indices serialize on TPU —
+    # the old shared Hp failure bin forced exactly that).
+    hit_w = jnp.where(
+        ok_q, hit_q, Hp + jnp.arange(Q, dtype=jnp.int32)[:, None])
     pf = jnp.broadcast_to(p_ix, (Q, P)).reshape(-1)
     hw = hit_w.reshape(-1)
-    ppar = ppar.at[pf, hw].set(new_par.reshape(Q * P, Ep), mode="drop")
-    tag = tag.at[pf, hw].set(btag.reshape(-1), mode="drop")
-    prog = prog.at[pf, hw].set(idxu_q.reshape(-1), mode="drop")
+    ppar = ppar.at[pf, hw].set(new_par.reshape(Q * P, Ep), mode="drop",
+                               unique_indices=True)
+    tag = tag.at[pf, hw].set(btag.reshape(-1), mode="drop",
+                             unique_indices=True)
+    prog = prog.at[pf, hw].set(idxu_q.reshape(-1), mode="drop",
+                               unique_indices=True)
     # refresh the cached PRF columns of the consumed slots
     new_col = table[p_ix, btag]                          # (Q, P, S)
     slot_col = slot_col.at[
         pf[:, None], jnp.arange(S)[None, :], hw[:, None]
-    ].set(new_col.reshape(Q * P, S), mode="drop")
+    ].set(new_col.reshape(Q * P, S), mode="drop", unique_indices=True)
     # burn the group index of every admitted candidate (ok_r), including
     # rounds later denied by the global budget — their (replacement, backup)
-    # pair is spent-by-assignment and must never be reused
-    hist = hist.at[pf, jnp.where(ok_r, chunk_q, S).reshape(-1)].add(
-        1, mode="drop")
+    # pair is spent-by-assignment and must never be reused. One-hot sum
+    # instead of a colliding scatter-add (several rounds share a chunk).
+    hist = hist + jnp.sum(
+        ok_r[..., None]
+        & (chunk_q[..., None] == jnp.arange(S, dtype=jnp.int32)[None, None, :]),
+        axis=0, dtype=hist.dtype)
     finished = finished + jnp.sum(ok_q, axis=0, dtype=finished.dtype)
 
     return (tag, prog, ppar, slot_col, hist, finished), entries, ok_q

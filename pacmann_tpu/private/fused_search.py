@@ -1,27 +1,37 @@
 """Fully-fused private search: beam traversal + PianoPIR online protocol as
-ONE device program per query group.
+ONE device program per query-group segment.
 
 The host-orchestrated path (driver.py + DevicePianoEngine) still pays one
 device dispatch per beam step (20+ round trips per query — dominant over any
 real client/server link). Here the ENTIRE search runs inside a single jit:
 
-  for step in 0..max_step (lax.scan):
+  for step in seg_base..seg_base+seg_len (lax.scan):
     1. frontier pop: `parallel` best unexplored vertices per query
-       (masked arg-min — the heap's extract-min, graphann/search.go:150-171)
-    2. oblivious fetch routing: the Qn*parallel*m neighbor ids are ranked
+       (masked extract-min via top_k — the heap's extract-min,
+       graphann/search.go:150-171)
+    2. in-batch dedup (the reference's response-cache semantics,
+       pianopir/pir.go:381-383): only the FIRST occurrence of an id is
+       routed to PIR; duplicates read the first's response and spend no
+       quota or budget
+    3. oblivious fetch routing: the surviving neighbor ids are ranked
        within their batch-PIR partitions (one-hot cumsum); the first
        `quota` per partition become sub-queries, overflow is dropped to
        zeros — the reference's FCFS lossy contract (batch-pir.go:194-216)
-       as a fixed-shape scatter
-    3. PIR: an inner lax.scan of `_pir_substep` serves quota sub-queries
-       per partition (hit scan -> expansion -> server XOR scan -> unmask ->
-       hint refresh), exactly the sequential protocol per partition
-    4. entries decode to (vector ‖ neighbors) and update the visited table
+       as a fixed-shape collision-free scatter
+    4. PIR: `_pir_batch` serves quota sub-queries per partition (hit scan
+       -> expansion -> server XOR scan -> unmask -> hint refresh), exactly
+       the sequential protocol per partition
+    5. entries decode to (vector ‖ neighbors) and update the visited table
        (dedup, all-zero-neighbor skip: search.go:187-207)
 
 Concurrent queries share each step's PIR batch, so the per-partition quota
-grows with the group size and the drop rate falls. Answers = top-k of each
-query's visited table. Only (Qn, k) ids leave the device.
+grows with the group size and the drop rate falls. Groups whose sub-query
+need exceeds the per-partition budget are split into SEGMENTS with a hint
+refresh between them — the reference's refresh-on-exhaustion semantics
+(pir.go:525-533) lifted to the group level, which is what unlocks group
+sizes past the single-budget ceiling (group 16 at SIFT1M). Beam state stays
+on device across segments; answers = top-k of each query's visited table.
+Only (Qn, k) ids leave the device.
 """
 
 from __future__ import annotations
@@ -40,19 +50,14 @@ INF = jnp.float32(np.inf)
 
 
 def _pop_parallel_batch(dist, explored, parallel):
-    """(Qn, cap) -> slots (Qn, parallel), valid (Qn, parallel)."""
-    def one(dist_q, expl_q):
-        picked, valid = [], []
-        masked = jnp.where(expl_q, INF, dist_q)
-        for _ in range(parallel):
-            i = jnp.argmin(masked)
-            ok = masked[i] < INF
-            picked.append(jnp.where(ok, i, 0))
-            valid.append(ok)
-            masked = masked.at[i].set(INF)
-        return jnp.stack(picked), jnp.stack(valid)
+    """(Qn, cap) -> slots (Qn, parallel), valid (Qn, parallel).
 
-    return jax.vmap(one)(dist, explored)
+    One top_k per query group replaces a sequential argmin/mask loop (same
+    extract-min semantics: top_k breaks ties by lowest index, exactly like
+    repeated argmin)."""
+    masked = jnp.where(explored, INF, dist)
+    neg, idx = jax.lax.top_k(-masked, parallel)
+    return idx.astype(jnp.int32), neg > -INF
 
 
 def _first_occurrence(ids):
@@ -63,21 +68,11 @@ def _first_occurrence(ids):
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("psize", "C", "R", "Hp", "S", "k", "max_q", "dpp",
-                     "dim", "m", "P", "topk", "max_step", "parallel",
-                     "quota", "n"),
-    donate_argnames=("pir_state",),
-)
-def _fused_search(db, pir_state, queries, start_ids, start_vecs, start_nbrs,
-                  key, *, psize, C, R, Hp, S, k, max_q, dpp, dim, m, P,
-                  topk, max_step, parallel, quota, n):
+    jax.jit, static_argnames=("parallel", "cap", "m"))
+def _seed_beam(queries, start_ids, start_vecs, start_nbrs, *,
+               parallel, cap, m):
+    """Seed the visited tables from the start set (search.go:129-148)."""
     Qn = queries.shape[0]
-    F = Qn * parallel * m               # fetches per step
-    Ep = k * 128
-    cap = parallel + max_step * parallel * m
-
-    # ---- seed beam state (search.go:129-148)
     sdist = jnp.sum(
         (start_vecs[None, :, :] - queries[:, None, :]) ** 2, axis=-1)
     negd, sidx = jax.lax.top_k(-sdist, parallel)        # (Qn, parallel)
@@ -90,7 +85,26 @@ def _fused_search(db, pir_state, queries, start_ids, start_vecs, start_nbrs,
     dist = dist.at[:, sl].set(-negd)
     nbrs = nbrs.at[:, sl].set(start_nbrs[sidx].astype(jnp.int32))
     explored = explored.at[:, sl].set(False)
+    return ids, dist, nbrs, explored
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("psize", "C", "R", "Hp", "S", "k", "max_q", "dpp",
+                     "dim", "m", "P", "seg_len", "parallel", "quota", "n"),
+    donate_argnames=("pir_state", "beam"),
+)
+def _fused_segment(db, pir_state, beam, queries, steps, keys,
+                   *, psize, C, R, Hp, S, k, max_q, dpp, dim, m, P,
+                   seg_len, parallel, quota, n):
+    """Run seg_len beam+PIR steps. steps (seg_len,) i32 carries the GLOBAL
+    step indices (visited-table write offsets), so one compiled program
+    serves every segment of the same length regardless of position."""
+    Qn = queries.shape[0]
+    F = Qn * parallel * m               # fetches per step
+    Ep = k * 128
+    ids, dist, nbrs, explored = beam
+    cap = ids.shape[1]
     bpar = pir_state["backup_parity"]
 
     def step_fn(carry, step_inp):
@@ -99,8 +113,9 @@ def _fused_search(db, pir_state, queries, start_ids, start_vecs, start_nbrs,
 
         # 1. frontier pop
         slots, valid = _pop_parallel_batch(dist, explored, parallel)
-        explored = jax.vmap(lambda e, s, v: e.at[s].max(v))(
-            explored, slots, valid)
+        pop_hit = (jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+                   == slots[:, :, None]) & valid[:, :, None]
+        explored = explored | jnp.any(pop_hit, axis=1)
         popped = jnp.take_along_axis(
             nbrs, slots[:, :, None], axis=1)            # (Qn, parallel, m)
         rk1, rk2 = jax.random.split(step_key)
@@ -109,19 +124,30 @@ def _fused_search(db, pir_state, queries, start_ids, start_vecs, start_nbrs,
         fid = jnp.where(valid[:, :, None], popped, rand_ids).reshape(F)
         fid = jnp.clip(fid, 0, n - 1)
 
-        # 2. partition routing with FCFS quota (batch-pir.go:178-216)
+        # 2. in-batch dedup (reference cache semantics, pir.go:381-383):
+        # only first occurrences go to PIR; duplicates read the first's
+        # response below and consume no quota or budget
+        eqm = fid[:, None] == fid[None, :]
+        fo_idx = jnp.argmax(eqm, axis=1).astype(jnp.int32)
+        is_first = fo_idx == jnp.arange(F, dtype=jnp.int32)
+
+        # 3. partition routing with FCFS quota (batch-pir.go:178-216)
         pa = fid // psize                                # (F,)
-        onehot = (pa[:, None] == jnp.arange(P)[None, :])
+        onehot = (pa[:, None] == jnp.arange(P)[None, :]) & is_first[:, None]
         rank = jnp.take_along_axis(
             jnp.cumsum(onehot, axis=0), pa[:, None], axis=1)[:, 0] - 1
-        keep = rank < quota
-        slot = jnp.where(keep, rank * P + pa, quota * P)  # overflow bin
+        keep = is_first & (rank < quota)
+        # overflow rows get DISTINCT out-of-bounds slots so the scatter is
+        # provably collision-free (parallel on TPU; a shared overflow bin
+        # would serialize every update)
+        slot = jnp.where(keep, rank * P + pa,
+                         quota * P + jnp.arange(F, dtype=jnp.int32))
         local = (fid - pa * psize).astype(jnp.int32)
-        buf = jnp.full(quota * P + 1, -1, jnp.int32)
-        buf = buf.at[slot].set(jnp.where(keep, local, -1))
-        idx_q = buf[: quota * P].reshape(quota, P)
+        buf = jnp.full(quota * P, -1, jnp.int32)
+        buf = buf.at[slot].set(local, mode="drop", unique_indices=True)
+        idx_q = buf.reshape(quota, P)
 
-        # 3. PIR protocol rounds — two-phase batched program (_pir_batch)
+        # 4. PIR protocol rounds — two-phase batched program (_pir_batch)
         # chunk_size is a power of two, so masking random bits is unbiased
         rnd = jax.random.bits(rk2, (quota, P, S), jnp.uint32) % np.uint32(C)
 
@@ -135,10 +161,13 @@ def _fused_search(db, pir_state, queries, start_ids, start_vecs, start_nbrs,
              jnp.zeros((1, Ep), jnp.uint32)])
         ok_flat = jnp.concatenate(
             [oks.reshape(quota * P), jnp.zeros(1, bool)])
-        res = entries_flat[slot]                         # (F, Ep)
-        res_ok = ok_flat[slot] & keep
+        # every fetch reads its FIRST OCCURRENCE's response slot
+        # (overflow/failed firsts resolve to the zero row)
+        rslot = jnp.minimum(slot, quota * P)[fo_idx]
+        res = entries_flat[rslot]                        # (F, Ep)
+        res_ok = ok_flat[rslot] & keep[fo_idx]
 
-        # 4. decode + visited-table update (search.go:187-207)
+        # 5. decode + visited-table update (search.go:187-207)
         vec = jax.lax.bitcast_convert_type(
             res[:, :dim], jnp.float32)                   # (F, dim)
         nb = res[:, dim : dim + m].astype(jnp.int32)     # (F, m)
@@ -160,34 +189,37 @@ def _fused_search(db, pir_state, queries, start_ids, start_vecs, start_nbrs,
         nonzero = jnp.any(nb_q != 0, axis=2)
         accept = ~known & firstocc & nonzero & ok_q
 
-        base = parallel + step_idx * parallel * m
-        write = base + jnp.arange(parallel * m, dtype=jnp.int32)
-        wcols = jnp.broadcast_to(write[None, :], (Qn, parallel * m))
-        rows = jnp.arange(Qn)[:, None]
-        ids = ids.at[rows, wcols].set(jnp.where(accept, fid_q, NEG_ID))
-        dist = dist.at[rows, wcols].set(jnp.where(accept, d_q, INF))
-        nbrs = nbrs.at[rows, wcols].set(
-            jnp.where(accept[:, :, None], nb_q, 0))
-        explored = explored.at[rows, wcols].set(~accept)
+        # contiguous write window [base, base + parallel*m): a dynamic
+        # update slice, not a scatter
+        base = parallel + step_idx * (parallel * m)
+        ids = jax.lax.dynamic_update_slice(
+            ids, jnp.where(accept, fid_q, NEG_ID), (0, base))
+        dist = jax.lax.dynamic_update_slice(
+            dist, jnp.where(accept, d_q, INF), (0, base))
+        nbrs = jax.lax.dynamic_update_slice(
+            nbrs, jnp.where(accept[:, :, None], nb_q, 0), (0, base, 0))
+        explored = jax.lax.dynamic_update_slice(
+            explored, ~accept, (0, base))
 
         return (ids, dist, nbrs, explored, pir_carry), None
 
     pir_carry = (pir_state["tag"], pir_state["prog"],
                  pir_state["primary_parity"], pir_state["slot_col"],
                  pir_state["hist"], pir_state["finished"])
-    keys = jax.random.split(key, max_step)
-    steps = jnp.arange(max_step, dtype=jnp.int32)
     (ids, dist, nbrs, explored, pir_carry), _ = jax.lax.scan(
         step_fn, (ids, dist, nbrs, explored, pir_carry), (steps, keys))
 
     tag, prog, ppar, slot_col, hist, finished = pir_carry
     new_state = dict(pir_state, tag=tag, prog=prog, primary_parity=ppar,
                      slot_col=slot_col, hist=hist, finished=finished)
+    return new_state, (ids, dist, nbrs, explored)
 
+
+@functools.partial(jax.jit, static_argnames=("topk",))
+def _finish_topk(ids, dist, *, topk):
     negd, slot = jax.lax.top_k(-dist, topk)
-    out_ids = jnp.where(
+    return jnp.where(
         negd > -INF, jnp.take_along_axis(ids, slot, axis=1), NEG_ID)
-    return new_state, out_ids, finished
 
 
 class FusedPrivateSearch:
@@ -200,6 +232,23 @@ class FusedPrivateSearch:
         self.start_ids = jnp.asarray(start_ids, jnp.int32)
         self.start_vecs = jnp.asarray(start_vecs, jnp.float32)
         self.start_nbrs = jnp.asarray(start_nbrs, jnp.int32)
+        self.refreshes = 0          # mid-group hint refreshes performed
+
+    def segment_plan(self, max_step: int, quota: int) -> list[int]:
+        """Split max_step into segments each fitting the per-partition
+        budget (pir.go:525-533's refresh-on-exhaustion, group-level)."""
+        p = self.engine.params
+        per_budget = (p.max_query_num - 2) // max(quota, 1)
+        if per_budget < 1:
+            raise ValueError(
+                f"one step consumes {quota} sub-queries/partition but the "
+                f"budget is {p.max_query_num}; use a smaller group")
+        lens = []
+        left = max_step
+        while left > 0:
+            lens.append(min(left, per_budget))
+            left -= lens[-1]
+        return lens
 
     def search(self, queries: np.ndarray, k: int, max_step: int,
                parallel: int, seed: int = 0) -> np.ndarray:
@@ -212,29 +261,40 @@ class FusedPrivateSearch:
         quota = F // P
         if quota < 1:
             raise ValueError("group too small: need Qn*parallel*m >= P")
-        need = max_step * quota
-        if need > p.max_query_num - 2:
-            raise ValueError(
-                f"group consumes {need} sub-queries/partition but the budget "
-                f"is {p.max_query_num}; use a smaller group/max_step")
-        # proactive hint refresh (private-search.go:224-230)
-        if e.queries_made_in_partition + need + 10 >= p.max_query_num:
-            e.preprocessing()
+        seg_lens = self.segment_plan(max_step, quota)
 
-        new_state, out_ids, finished = _fused_search(
-            e.db, e.state, jnp.asarray(queries, jnp.float32),
-            self.start_ids, self.start_vecs, self.start_nbrs,
-            jax.random.PRNGKey(seed),
-            psize=e.config.partition_size, C=p.chunk_size,
-            R=p.max_query_per_chunk, Hp=p.primary_hint_num,
-            S=p.set_size, k=e.k, max_q=p.max_query_num,
-            dpp=DEFAULT_PROGRAM_POINT, dim=self.dim, m=self.m, P=P,
-            topk=k, max_step=max_step, parallel=parallel, quota=quota,
-            n=self.n)
-        e.state = new_state
-        # budget bookkeeping mirrors engine.query (batch-pir.go:239-245)
-        e.queries_made_in_partition += max_step * quota
-        e.finished_batch_num += max_step * (F // e.config.batch_size)
+        cap = parallel + max_step * parallel * self.m
+        beam = _seed_beam(
+            jnp.asarray(queries, jnp.float32), self.start_ids,
+            self.start_vecs, self.start_nbrs,
+            parallel=parallel, cap=cap, m=self.m)
+        keys = jax.random.split(jax.random.PRNGKey(seed), max_step)
+
+        kw = dict(psize=e.config.partition_size, C=p.chunk_size,
+                  R=p.max_query_per_chunk, Hp=p.primary_hint_num,
+                  S=p.set_size, k=e.k, max_q=p.max_query_num,
+                  dpp=DEFAULT_PROGRAM_POINT, dim=self.dim, m=self.m, P=P,
+                  parallel=parallel, quota=quota, n=self.n)
+        queries_d = jnp.asarray(queries, jnp.float32)
+        base = 0
+        for seg in seg_lens:
+            need = seg * quota
+            # refresh when the budget cannot cover this segment
+            # (private-search.go:224-230's proactive margin)
+            if e.queries_made_in_partition + need + 10 >= p.max_query_num:
+                e.preprocessing()
+                if base > 0:
+                    self.refreshes += 1
+            steps = jnp.arange(base, base + seg, dtype=jnp.int32)
+            e.state, beam = _fused_segment(
+                e.db, e.state, beam, queries_d, steps,
+                keys[base : base + seg], seg_len=seg, **kw)
+            # budget bookkeeping mirrors engine.query (batch-pir.go:239-245)
+            e.queries_made_in_partition += need
+            e.finished_batch_num += seg * (F // e.config.batch_size)
+            base += seg
+
+        out_ids = _finish_topk(beam[0], beam[1], topk=k)
         return np.asarray(out_ids).astype(np.int64)
 
     def budget_left(self) -> int:

@@ -42,6 +42,33 @@ def test_fused_search_end_to_end():
     assert fin.sum() > 0
 
 
+def test_fused_search_mid_group_refresh():
+    """A group whose sub-query need exceeds the per-partition budget is
+    split into segments with a hint refresh between them (pir.go:525-533
+    lifted to the group level); the search completes and stays in the
+    normal recall regime instead of raising."""
+    rng = np.random.default_rng(12)
+    n, d, m = 1024, 8, 8
+    vectors = rng.random((n, d), dtype=np.float32)
+    graph = np.asarray(build_graph(vectors, m, rounds=3, seed=12), np.int64)
+    raw = pack_vertex_db(vectors, graph)
+    engine = DevicePianoEngine(n, 4 * (d + m), m, raw, 8)
+    engine.preprocessing(rng=np.random.default_rng(3))
+    sids = rng.choice(n, 32, replace=False)
+    fs = FusedPrivateSearch(engine, sids, vectors[sids], graph[sids],
+                            dim=d, m=m, n=n)
+    # P=4, psize=256 -> budget 88/partition; Qn=2, parallel=3 -> quota=12,
+    # so 16 steps need 192 sub-queries: the plan must split
+    plan = fs.segment_plan(16, 12)
+    assert sum(plan) == 16 and len(plan) >= 2, plan
+    queries = rng.random((2, d), dtype=np.float32)
+    gnd = brute_force_knn(vectors, queries, 10)
+    out = fs.search(queries, k=10, max_step=16, parallel=3, seed=1)
+    assert fs.refreshes >= 1
+    recall = compute_recall(gnd, out, 10)
+    assert recall > 0.55, recall
+
+
 def test_fused_search_repeat_calls_share_budget():
     rng = np.random.default_rng(9)
     n, d, m = 1024, 8, 8
