@@ -387,17 +387,7 @@ class DevicePianoEngine:
         # partition, no concatenate (matters at 1 GB+ on a slow host CPU).
         # Partition axis second: chunk streaming scans lead on S, and the
         # multi-chip engine shards the partition axis (parallel/sharding.py).
-        S, C = p.set_size, p.chunk_size
-        db_f = np.zeros((S, P, C * self.k, 128), np.uint32)
-        db_v = db_f.reshape(S, P, C * self.k * 128)
-        for i in range(P):
-            lo = i * psize
-            hi = min((i + 1) * psize, db_size)
-            tmp = np.zeros((S * C, self.k * 128), np.uint32)
-            if hi > lo:
-                tmp[: hi - lo, :entry_u32] = raw[lo:hi]
-            db_v[:, i] = tmp.reshape(S, C * self.k * 128)
-        self.db = jax.device_put(db_f)
+        self.db = self._pack_db(raw)
         self.state = None
         self.cache: dict[int, np.ndarray] = {}
         self._rng = np.random.default_rng()
@@ -413,6 +403,31 @@ class DevicePianoEngine:
         self.preprocessing_time = 0.0
         self.comm_cost_per_batch_offline = 0
 
+    def _pack_partitions(self, raw, lo_p: int, hi_p: int) -> np.ndarray:
+        """Pack partitions [lo_p, hi_p) into (S, hi_p-lo_p, C*k, 128) u32."""
+        c, p = self.config, self.params
+        S, C = p.set_size, p.chunk_size
+        entry_u32 = c.entry_bytes // 4
+        psize = c.partition_size
+        np_ = hi_p - lo_p
+        db_f = np.zeros((S, np_, C * self.k, 128), np.uint32)
+        db_v = db_f.reshape(S, np_, C * self.k * 128)
+        for j, i in enumerate(range(lo_p, hi_p)):
+            lo = i * psize
+            hi = min((i + 1) * psize, c.db_size)
+            tmp = np.zeros((S * C, self.k * 128), np.uint32)
+            if hi > lo:
+                tmp[: hi - lo, :entry_u32] = raw[lo:hi]
+            db_v[:, j] = tmp.reshape(S, C * self.k * 128)
+        return db_f
+
+    def _pack_db(self, raw):
+        """Pack + place the server DB (single device; the sharded engine
+        overrides this to pack per-shard so no device — and no single host
+        buffer — ever holds more than one shard's partitions)."""
+        return jax.device_put(
+            self._pack_partitions(raw, 0, self.config.partition_num))
+
     # -- offline -------------------------------------------------------------
 
     def _record_stats(self, prep_time: float):
@@ -421,10 +436,41 @@ class DevicePianoEngine:
         db_bytes = float(self.config.db_size) * self.config.entry_bytes
         self.comm_cost_per_batch_offline = int(db_bytes / self.support_batch_num)
 
-    def preprocessing(self, rng: np.random.Generator | None = None):
+    def _prep_device(self, keys16: list[bytes], repl_off: np.ndarray):
+        """Run the offline phase on device: keys16 = one AES key per
+        partition, repl_off (P, S, R) u32. Returns (table, parities,
+        repl_val, slot_col, checksum-or-None). The sharded engine overrides
+        this to run the same program under shard_map, per-shard."""
         from pacmann_tpu.ops.xor_scan import xor_scan_parts
         from pacmann_tpu.utils.platform import on_tpu
 
+        p = self.params
+        P = self.config.partition_num
+        S, R, Hp, C = (p.set_size, p.max_query_per_chunk,
+                       p.primary_hint_num, p.chunk_size)
+        T = Hp + S * R
+        if on_tpu():
+            # the whole offline phase as ONE device program + ONE sync
+            # (see _prep_fused): per-phase dispatch/sync round trips over
+            # the interconnect otherwise dominate the 0.3 s total.
+            masks = np.stack([aes.expand_key_planes(kb) for kb in keys16])
+            return _prep_fused(
+                self.db, jnp.asarray(masks), jnp.asarray(repl_off),
+                T=T, S=S, C=C, Hp=Hp, R=R, k=self.k, chunk_mask=p.chunk_mask)
+        # CPU backends: native AES-NI host tables + the XLA gather scan
+        table = jnp.stack([
+            aes.prf_offset_table_device(kb, T, S, p.chunk_mask)
+            for kb in keys16
+        ])                                           # (P, T, S)
+        skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
+        parities = xor_scan_parts(self.db, table, skip, self.k)
+        parities = parities.reshape(P, T, self.Ep)
+        repl_val = _gather_repl(
+            self.db, jnp.asarray(repl_off), k=self.k, Ep=self.Ep)
+        slot_col = jnp.swapaxes(table[:, :Hp, :], 1, 2).copy()
+        return table, parities, repl_val, slot_col, None
+
+    def preprocessing(self, rng: np.random.Generator | None = None):
         t0 = time.perf_counter()
         self.finished_batch_num = 0
         self.queries_made_in_partition = 0
@@ -445,29 +491,9 @@ class DevicePianoEngine:
         repl_idx = repl_off + (
             np.arange(S, dtype=np.uint32) * C)[None, :, None]
 
-        if on_tpu():
-            # the whole offline phase as ONE device program + ONE sync
-            # (see _prep_fused): per-phase dispatch/sync round trips over
-            # the interconnect otherwise dominate the 0.3 s total.
-            masks = np.stack([
-                aes.expand_key_planes(self._rng.bytes(16)) for _ in range(P)])
-            table, parities, repl_val, slot_col, chk = _prep_fused(
-                self.db, jnp.asarray(masks), jnp.asarray(repl_off),
-                T=T, S=S, C=C, Hp=Hp, R=R, k=self.k, chunk_mask=p.chunk_mask)
-        else:
-            # CPU backends: native AES-NI host tables + the XLA gather scan
-            table = jnp.stack([
-                aes.prf_offset_table_device(
-                    self._rng.bytes(16), T, S, p.chunk_mask)
-                for _ in range(P)
-            ])                                           # (P, T, S)
-            skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
-            parities = xor_scan_parts(self.db, table, skip, self.k)
-            parities = parities.reshape(P, T, self.Ep)
-            repl_val = _gather_repl(
-                self.db, jnp.asarray(repl_off), k=self.k, Ep=self.Ep)
-            slot_col = jnp.swapaxes(table[:, :Hp, :], 1, 2).copy()
-            chk = None
+        keys16 = [self._rng.bytes(16) for _ in range(P)]
+        table, parities, repl_val, slot_col, chk = self._prep_device(
+            keys16, repl_off)
 
         self.state = dict(
             table=table,

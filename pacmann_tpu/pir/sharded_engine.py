@@ -10,13 +10,20 @@ parities, replacements, budgets) across a 1-D jax.sharding.Mesh:
     state leaves (P, ...)           sharded on axis 0
     idx_q        (Q, P)             sharded on axis 1
 
+Shard-native END TO END: the packed DB is assembled from per-device host
+blocks (jax.make_array_from_single_device_arrays), and the offline phase
+runs `_prep_fused` under shard_map — each chip preps ITS partitions only,
+the reference's independent per-partition preprocessing
+(batch-pir.go:130-148) as SPMD. No device (and no single host buffer) ever
+materializes more than one shard of the DB or hint state, which is what
+lets a 64 GB SIFT100M DB cross 16 GB v5e chips: a v5e-8 with 16 partitions
+holds 2 partitions ≈ 8 GB per chip, and hint generation scales linearly
+with chips.
+
 The online batch runs the SAME `_online_core` as the single-chip engine
 under shard_map — every chip serves its own partitions' sub-queries with
 ZERO collectives in the hot path (the reference's goroutine-per-partition
 parallelism, reborn as SPMD). Only the decoded entries are gathered.
-
-A v5e-8 with 16 partitions holds 2 partitions per chip: a 64 GB SIFT100M
-DB fits at 8 GB/chip, and hint generation scales linearly with chips.
 """
 
 from __future__ import annotations
@@ -24,10 +31,16 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P_
 
-from pacmann_tpu.pir.device_engine import DevicePianoEngine, _online_core
+from pacmann_tpu.ops import aes
+from pacmann_tpu.pir.device_engine import (
+    DevicePianoEngine,
+    _online_core,
+    _prep_fused,
+)
 
 AXIS = "shard"
 
@@ -39,14 +52,10 @@ class ShardedPianoEngine(DevicePianoEngine):
                  raw: np.ndarray, failure_prob_log2: int, mesh,
                  verbose: bool = False):
         self.mesh = mesh
-        n_dev = mesh.shape[AXIS]
+        self._sharded_step = None
+        self._sharded_prep = None
         super().__init__(db_size, entry_bytes, batch_size, raw,
                          failure_prob_log2, verbose=verbose)
-        P = self.config.partition_num
-        assert P % n_dev == 0, (P, n_dev)
-        # reshard the DB: (S, P, C*k, 128) split on the partition axis
-        self.db = jax.device_put(
-            self.db, NamedSharding(mesh, P_(None, AXIS, None, None)))
         self._state_sharding = {
             "table": P_(AXIS, None, None),
             "slot_col": P_(AXIS, None, None),
@@ -59,7 +68,69 @@ class ShardedPianoEngine(DevicePianoEngine):
             "repl_idx": P_(AXIS, None, None),
             "repl_val": P_(AXIS, None, None, None),
         }
-        self._sharded_step = None
+
+    # -- shard-native DB placement -------------------------------------------
+
+    def _pack_db(self, raw):
+        """Pack each device's partitions into its own host block and place
+        it on that device before assembly — per-device AND per-host-buffer
+        peak is one shard, never the full DB (batch-pir.go:130-148's
+        independent partitions)."""
+        mesh = self.mesh
+        n_dev = mesh.shape[AXIS]
+        P = self.config.partition_num
+        assert P % n_dev == 0, (P, n_dev)
+        per = P // n_dev
+        devs = mesh.devices.reshape(-1)
+        shards = [
+            jax.device_put(
+                self._pack_partitions(raw, d * per, (d + 1) * per), devs[d])
+            for d in range(n_dev)
+        ]
+        p = self.params
+        shape = (p.set_size, P, p.chunk_size * self.k, 128)
+        return jax.make_array_from_single_device_arrays(
+            shape, NamedSharding(mesh, P_(None, AXIS, None, None)), shards)
+
+    # -- shard-native offline phase ------------------------------------------
+
+    def _prep_device(self, keys16, repl_off):
+        """The offline phase under shard_map: each chip runs the fused prep
+        program (PRF tables + hint scan + replacements + slot columns) over
+        ITS partitions only. Runs the fused bitsliced-AES program on every
+        platform — it is the shard_map-able form (the host-AES fallback of
+        the base class is not); CPU meshes only arise in tests/dryruns."""
+        mesh = self.mesh
+        p = self.params
+        S, R, Hp, C = (p.set_size, p.max_query_per_chunk,
+                       p.primary_hint_num, p.chunk_size)
+        T = Hp + S * R
+        masks = np.stack([aes.expand_key_planes(kb) for kb in keys16])
+        ns = lambda *spec: NamedSharding(mesh, P_(*spec))
+        masks_d = jax.device_put(
+            jnp.asarray(masks), ns(AXIS, None, None, None))
+        repl_d = jax.device_put(jnp.asarray(repl_off), ns(AXIS, None, None))
+
+        if self._sharded_prep is None:
+            kw = dict(T=T, S=S, C=C, Hp=Hp, R=R, k=self.k,
+                      chunk_mask=p.chunk_mask)
+
+            def shard_fn(db4, masks, repl_off):
+                t, par, rv, sc, chk = _prep_fused(db4, masks, repl_off, **kw)
+                return t, par, rv, sc, chk[None]
+
+            self._sharded_prep = jax.jit(jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P_(None, AXIS, None, None),
+                          P_(AXIS, None, None, None),
+                          P_(AXIS, None, None)),
+                out_specs=(P_(AXIS, None, None), P_(AXIS, None, None),
+                           P_(AXIS, None, None, None), P_(AXIS, None, None),
+                           P_(AXIS)),
+                check_vma=False,
+            ))
+        return self._sharded_prep(self.db, masks_d, repl_d)
 
     def _shard_state(self):
         m = self.mesh
@@ -69,9 +140,8 @@ class ShardedPianoEngine(DevicePianoEngine):
         }
 
     def preprocessing(self, rng=None):
-        # single-chip prep builds the state (XLA executes it sharded where
-        # the inputs are; tables/parities are per-partition anyway), then
-        # state is placed with explicit partition-axis shardings
+        # _prep_device runs shard-mapped, so the big leaves come out already
+        # partition-sharded; this pins the small host-built leaves too.
         super().preprocessing(rng=rng)
         self._shard_state()
 

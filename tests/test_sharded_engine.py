@@ -28,6 +28,36 @@ def test_sharded_engine_exact_answers():
         assert np.array_equal(out[r], raw[idx]), f"row {r} idx {idx}"
 
 
+def test_shard_native_prep_memory_locality():
+    """The SIFT100M tier requires that no device ever holds more than its
+    shard: the packed DB is assembled from per-device blocks and the
+    offline phase runs under shard_map, so every addressable shard of the
+    DB and of every large state leaf spans exactly P/n_dev partitions."""
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(72)
+    n, eb, batch = 8192, 32, 32   # 16 partitions over 8 devices
+    raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    pir = ShardedPianoEngine(n, eb, batch, raw, 20, mesh)
+    pir.preprocessing(rng=np.random.default_rng(101))
+    P = pir.config.partition_num
+    per = P // 8
+    db_shards = pir.db.addressable_shards
+    assert len(db_shards) == 8
+    for s in db_shards:
+        assert s.data.shape[1] == per, s.data.shape
+    for name in ("table", "primary_parity", "backup_parity", "slot_col",
+                 "repl_idx", "repl_val"):
+        shards = pir.state[name].addressable_shards
+        assert len(shards) == 8, name
+        for s in shards:
+            assert s.data.shape[0] == per, (name, s.data.shape)
+    # and the engine still answers exactly
+    ids = [int(i * pir.config.partition_size + 1) for i in range(P)]
+    out = pir.query(ids)
+    for r, idx in enumerate(ids):
+        assert np.array_equal(out[r], raw[idx]), f"row {r}"
+
+
 def test_sharded_matches_single_chip():
     """Same seeds -> identical state evolution and identical answers."""
     mesh = make_mesh(8)
