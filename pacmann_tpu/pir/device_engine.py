@@ -76,6 +76,14 @@ def _build_skip(P: int, T: int, Hp: int, R: int, S: int):
     return (t >= Hp) & (s == grp)
 
 
+def _off_dtype(C: int):
+    """Offset storage dtype: PRF offsets live in [0, C); u16 whenever the
+    chunk fits (every realistic scale — C=8192 even at SIFT100M), which
+    halves the client's resident table state AND the hit scan's per-step
+    gather traffic (pir.go:178-190's storage model, tightened)."""
+    return jnp.uint16 if C <= (1 << 16) else jnp.uint32
+
+
 @functools.partial(jax.jit, static_argnames=(
     "T", "S", "C", "Hp", "R", "k", "chunk_mask"))
 def _prep_fused(db4, masks, repl_off, *, T: int, S: int, C: int, Hp: int,
@@ -98,13 +106,16 @@ def _prep_fused(db4, masks, repl_off, *, T: int, S: int, C: int, Hp: int,
     table = jnp.stack([
         aes._prf_table_on_device(masks[p], T, S, chunk_mask)
         for p in range(P)
-    ])                                                   # (P, T, S)
+    ])                                                   # (P, T, S) u32
     skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
     parities = xor_hintgen_mm(db4, table, skip, k)       # (P, T, Ep)
     repl_val = _gather_repl(db4, repl_off, k=k, Ep=Ep)   # (P, S, R, Ep)
+    od = _off_dtype(C)
+    table = table.astype(od)
     slot_col = jnp.swapaxes(table[:, :Hp, :], 1, 2)      # (P, S, Hp)
     checksum = (parities[-1, -1, -1] ^ repl_val[-1, -1, -1, -1]
-                ^ table[-1, -1, -1] ^ slot_col[0, 0, 0])
+                ^ table[-1, -1, -1].astype(jnp.uint32)
+                ^ slot_col[0, 0, 0].astype(jnp.uint32))
     return table, parities, repl_val, slot_col, checksum
 
 
@@ -131,8 +142,8 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
 
     # ---- Phase A: fully vectorized slot selection (see _pir_batch doc).
     p_ix2 = jnp.broadcast_to(jnp.arange(P)[None, :], (Q, P))
-    col_all = slot_col[p_ix2, chunk_q]                 # (Q, P, Hp)
-    elig = (col_all == off_q[..., None]) & (
+    col_all = slot_col[p_ix2, chunk_q]                 # (Q, P, Hp) off-dtype
+    elig = (col_all == off_q[..., None].astype(col_all.dtype)) & (
         ~prog_set[None] | (prog_chunk[None] != chunk_q[..., None]))
     elig &= real_q[..., None]
 
@@ -182,7 +193,8 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
     # ---- Phase B-prep: the query sets (client->server message)
     p_ix = jnp.arange(P)[None, :]
     hit_tag = tag[p_ix, hit_q]                           # (Q, P)
-    qs = table[p_ix, hit_tag.astype(jnp.int32)]          # (Q, P, S)
+    qs = table[p_ix, hit_tag.astype(jnp.int32)].astype(
+        jnp.uint32)                                      # (Q, P, S) message
     hp = prog[p_ix, hit_q]                               # (Q, P)
     hp_set = hp != dpp
     s_iota = jnp.arange(S, dtype=jnp.int32)[None, None, :]
@@ -233,7 +245,7 @@ def _pir_finish(repl_val, bpar, table, carry, sel, resp,
     prog = prog.at[pf, hw].set(idxu_q.reshape(-1), mode="drop",
                                unique_indices=True)
     # refresh the cached PRF columns of the consumed slots
-    new_col = table[p_ix, btag]                          # (Q, P, S)
+    new_col = table[p_ix, btag].astype(slot_col.dtype)   # (Q, P, S)
     slot_col = slot_col.at[
         pf[:, None], jnp.arange(S)[None, :], hw[:, None]
     ].set(new_col.reshape(Q * P, S), mode="drop", unique_indices=True)
@@ -467,6 +479,7 @@ class DevicePianoEngine:
         parities = parities.reshape(P, T, self.Ep)
         repl_val = _gather_repl(
             self.db, jnp.asarray(repl_off), k=self.k, Ep=self.Ep)
+        table = table.astype(_off_dtype(C))
         slot_col = jnp.swapaxes(table[:, :Hp, :], 1, 2).copy()
         return table, parities, repl_val, slot_col, None
 
@@ -528,9 +541,10 @@ class DevicePianoEngine:
         P = self.config.partition_num
         S, R, Hp = p.set_size, p.max_query_per_chunk, p.primary_hint_num
         T = Hp + S * R
+        od = _off_dtype(p.chunk_size)
         self.state = dict(
-            table=jnp.zeros((P, T, S), jnp.uint32),
-            slot_col=jnp.zeros((P, S, Hp), jnp.uint32),
+            table=jnp.zeros((P, T, S), od),
+            slot_col=jnp.zeros((P, S, Hp), od),
             tag=jnp.broadcast_to(
                 jnp.arange(Hp, dtype=jnp.int32)[None, :], (P, Hp)).copy(),
             prog=jnp.full((P, Hp), DEFAULT_PROGRAM_POINT, jnp.uint32),
@@ -649,11 +663,14 @@ class DevicePianoEngine:
     def extra_storage_size(self) -> float:
         """Client memory beyond the reference model (pir.go:178-190): the
         resident PRF offset table (P, T, S) and the hit-scan slot-column
-        cache (P, S, Hp), both u32 — kept to skip online AES (the reference
-        recomputes the PRF per query instead, pir.go:404-427)."""
+        cache (P, S, Hp) — kept to skip online AES (the reference
+        recomputes the PRF per query instead, pir.go:404-427). Offsets are
+        stored u16 whenever the chunk fits (always at current scales),
+        which halves this line vs round 2."""
         p = self.params
+        nbytes = 2 if p.chunk_size <= (1 << 16) else 4
         per_part = (p.total_tags * p.set_size
-                    + p.set_size * p.primary_hint_num) * 4
+                    + p.set_size * p.primary_hint_num) * nbytes
         return float(per_part * self.config.partition_num)
 
     def comm_cost_per_batch_online(self) -> int:
