@@ -228,27 +228,26 @@ def _pir_finish(repl_val, bpar, table, carry, sel, resp,
     btag = Hp + chunk_q * R + ig_q                       # (Q, P)
     bp = bpar[p_ix, btag - Hp]
     new_par = bp ^ entries
-    # masked scatter: failed rounds write DISTINCT out-of-bounds indices
-    # (Hp + row) -> dropped. Distinctness matters: the ok rows' slots are
-    # unique per partition by the reservation invariant, so with unique
-    # failure indices every scatter below is provably collision-free and
-    # XLA emits a parallel scatter (colliding indices serialize on TPU —
-    # the old shared Hp failure bin forced exactly that).
-    hit_w = jnp.where(
-        ok_q, hit_q, Hp + jnp.arange(Q, dtype=jnp.int32)[:, None])
-    pf = jnp.broadcast_to(p_ix, (Q, P)).reshape(-1)
-    hw = hit_w.reshape(-1)
-    ppar = ppar.at[pf, hw].set(new_par.reshape(Q * P, Ep), mode="drop",
-                               unique_indices=True)
-    tag = tag.at[pf, hw].set(btag.reshape(-1), mode="drop",
-                             unique_indices=True)
-    prog = prog.at[pf, hw].set(idxu_q.reshape(-1), mode="drop",
-                               unique_indices=True)
+    # SCATTER-FREE refresh: TPU scatters with data-dependent indices are
+    # unpredictable (colliding ones serialize; the unique_indices hint is
+    # not reliably honored), so invert the mapping densely instead — for
+    # every primary slot (p, h), find the round q that refreshed it (at
+    # most one, by the reservation invariant) and rewrite the arrays with
+    # masked selects. ~0.3 ms of streaming traffic at SIFT1M group-16
+    # shapes, fully parallel, bit-identical.
+    hit_v = jnp.where(ok_q, hit_q, -1)                   # (Q, P)
+    h_iota = jnp.arange(Hp, dtype=jnp.int32)
+    m3 = hit_v[:, :, None] == h_iota[None, None, :]      # (Q, P, Hp)
+    upd = jnp.any(m3, axis=0)                            # (P, Hp)
+    src = jnp.argmax(m3, axis=0).astype(jnp.int32)       # (P, Hp) -> q
+    p_grid = jnp.broadcast_to(jnp.arange(P)[:, None], (P, Hp))
+    ppar = jnp.where(upd[..., None], new_par[src, p_grid], ppar)
+    tag = jnp.where(upd, btag[src, p_grid], tag)
+    prog = jnp.where(upd, idxu_q[src, p_grid], prog)
     # refresh the cached PRF columns of the consumed slots
     new_col = table[p_ix, btag].astype(slot_col.dtype)   # (Q, P, S)
-    slot_col = slot_col.at[
-        pf[:, None], jnp.arange(S)[None, :], hw[:, None]
-    ].set(new_col.reshape(Q * P, S), mode="drop", unique_indices=True)
+    sc_new = jnp.swapaxes(new_col[src, p_grid], 1, 2)    # (P, S, Hp)
+    slot_col = jnp.where(upd[:, None, :], sc_new, slot_col)
     # burn the group index of every admitted candidate (ok_r), including
     # rounds later denied by the global budget — their (replacement, backup)
     # pair is spent-by-assignment and must never be reused. One-hot sum

@@ -137,15 +137,16 @@ def _fused_segment(db, pir_state, beam, queries, steps, keys,
         rank = jnp.take_along_axis(
             jnp.cumsum(onehot, axis=0), pa[:, None], axis=1)[:, 0] - 1
         keep = is_first & (rank < quota)
-        # overflow rows get DISTINCT out-of-bounds slots so the scatter is
-        # provably collision-free (parallel on TPU; a shared overflow bin
-        # would serialize every update)
-        slot = jnp.where(keep, rank * P + pa,
-                         quota * P + jnp.arange(F, dtype=jnp.int32))
+        # scatter-free slot inversion: for each target slot (r, p), find
+        # the fetch that routed there (dense argmax-match; TPU scatters
+        # with data-dependent indices are unpredictable)
+        slot = jnp.where(keep, rank * P + pa, -1)
+        sl_iota = jnp.arange(quota * P, dtype=jnp.int32)
+        match = slot[None, :] == sl_iota[:, None]        # (QP, F)
+        src_f = jnp.argmax(match, axis=1).astype(jnp.int32)
+        found = jnp.any(match, axis=1)
         local = (fid - pa * psize).astype(jnp.int32)
-        buf = jnp.full(quota * P, -1, jnp.int32)
-        buf = buf.at[slot].set(local, mode="drop", unique_indices=True)
-        idx_q = buf.reshape(quota, P)
+        idx_q = jnp.where(found, local[src_f], -1).reshape(quota, P)
 
         # 4. PIR protocol rounds — two-phase batched program (_pir_batch)
         # chunk_size is a power of two, so masking random bits is unbiased
@@ -163,7 +164,8 @@ def _fused_segment(db, pir_state, beam, queries, steps, keys,
             [oks.reshape(quota * P), jnp.zeros(1, bool)])
         # every fetch reads its FIRST OCCURRENCE's response slot
         # (overflow/failed firsts resolve to the zero row)
-        rslot = jnp.minimum(slot, quota * P)[fo_idx]
+        sfo = slot[fo_idx]
+        rslot = jnp.where(sfo >= 0, sfo, quota * P)
         res = entries_flat[rslot]                        # (F, Ep)
         res_ok = ok_flat[rslot] & keep[fo_idx]
 

@@ -25,17 +25,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--latent", type=int, default=16)
+    ap.add_argument("--continuum", action="store_true",
+                    help="latent-manifold continuum data (the separation "
+                         "workload; expect cluster recall to collapse)")
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
     n, d, Q, k = args.n, 128, args.queries, args.k
-    tag = f"{n}_clustered_l{args.latent}"
+    kind = "continuum" if args.continuum else "clustered"
+    tag = f"{n}_{kind}_l{args.latent}"
 
-    from scripts.e2e_scale import synth_vectors
+    from scripts.e2e_scale import synth_continuum, synth_vectors
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    vectors = synth_vectors(n, d, True, rng, latent=args.latent)
+    if args.continuum:
+        vectors = synth_continuum(n, d, rng, latent=args.latent)
+    else:
+        vectors = synth_vectors(n, d, True, rng, latent=args.latent)
     print(f"vectors: {time.time()-t0:.1f}s", flush=True)
     queries = vectors[rng.choice(n, Q, replace=False)] \
         + 0.1 * rng.standard_normal((Q, d)).astype(np.float32)
@@ -71,7 +78,7 @@ def main():
     lines = [
         f"Exact MXU scan baseline (quality upper bound; NGT role, "
         f"ngt-search.go:68-294)",
-        f"n {n} dim {d} k {k} queries {Q} data clustered latent={args.latent}",
+        f"n {n} dim {d} k {k} queries {Q} data {kind} latent={args.latent}",
         f"Avg query time: {dt/Q*1000:.3f} ms "
         f"({n*Q/max(dt,1e-9)/1e9:.2f} G dist/s, one TPU v5e chip)",
         f"Recall@{k}: {rec:.4f}",
@@ -96,7 +103,7 @@ def main():
     lines = [
         f"Cluster (Tiptoe-style) baseline: k-means sqrt(n)={K} clusters, "
         f"nearest-cluster brute force (cluster-search.py role)",
-        f"n {n} dim {d} k {k} queries {Q} data clustered latent={args.latent}",
+        f"n {n} dim {d} k {k} queries {Q} data {kind} latent={args.latent}",
         f"k-means build: {build_s:.1f}s",
         f"Avg query time: {t_query/Q*1000:.3f} ms",
         f"Recall@{k}: {rec_c:.4f}",

@@ -24,6 +24,29 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def synth_continuum(n: int, d: int, rng, latent: int = 16) -> np.ndarray:
+    """Continuum latent-manifold data: points ON a latent-dim Gaussian
+    manifold embedded in d dims (plus small ambient noise), with NO
+    mixture structure. k-means cells become an arbitrary Voronoi
+    tessellation of a continuum, so a query's true neighbors straddle
+    cell boundaries and the nearest-centroid (Tiptoe-style) baseline
+    collapses — the regime real SIFT exhibits (cluster recall 0.391,
+    /root/reference/cluster-report.txt:3) — while graph search still
+    navigates fine (low intrinsic dimension). The graph-vs-cluster
+    separation workload of VERDICT r2 task 3."""
+    basis = (rng.standard_normal((latent, d)) / np.sqrt(latent)) \
+        .astype(np.float32)
+    out = np.empty((n, d), np.float32)
+    block = 1 << 16
+    for b0 in range(0, n, block):
+        b = min(block, n - b0)
+        z = rng.standard_normal((b, latent)).astype(np.float32)
+        out[b0:b0 + b] = (z @ basis
+                          + 0.02 * rng.standard_normal((b, d)).astype(
+                              np.float32))
+    return out
+
+
 def synth_vectors(n: int, d: int, clustered: bool, rng,
                   latent: int = 16) -> np.ndarray:
     """SIFT-like synthetic data (or uniform with --uniform).
@@ -68,6 +91,10 @@ def main():
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--uniform", action="store_true")
+    ap.add_argument("--continuum", action="store_true",
+                    help="latent-manifold continuum data (the graph-vs-"
+                         "cluster separation workload: nearest-centroid "
+                         "collapses, graph search holds)")
     ap.add_argument("--latent", type=int, default=16,
                     help="intrinsic dim of cluster centers (0 = full-d "
                          "equidistant centers, the adversarial variant)")
@@ -80,17 +107,23 @@ def main():
 
     n, d, m = args.n, 128, 32
     tag = (f"{n}_uniform" if args.uniform
+           else f"{n}_continuum_l{args.latent}" if args.continuum
            else f"{n}_clustered_l{args.latent}")
     gpath = f"/tmp/graph_{tag}.npy"
     report_path = f"/tmp/e2e_{tag}_report.json"
     report = {"n": n, "d": d, "m": m, "rounds": args.rounds,
-              "clustered": not args.uniform, "latent": args.latent,
+              "clustered": not args.uniform, "continuum": args.continuum,
+              "latent": args.latent,
               "k": args.k,
               "step": args.step, "parallel": args.parallel}
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    vectors = synth_vectors(n, d, not args.uniform, rng, latent=args.latent)
+    if args.continuum:
+        vectors = synth_continuum(n, d, rng, latent=args.latent)
+    else:
+        vectors = synth_vectors(n, d, not args.uniform, rng,
+                                latent=args.latent)
     print(f"vectors synthesized: {time.time()-t0:.1f}s", flush=True)
 
     from pacmann_tpu.graph.build import build_graph

@@ -1,0 +1,113 @@
+"""SIFT100M deployment plan: derive the tier's PIR parameters, print the
+per-chip byte budget for a v5e-8 (16 GB HBM/chip), assert it closes, and
+run a miniature 8-shard prep+query with the same entry shape to prove the
+shard-native path executes (reference config: run-private-search.sh:21 —
+n=1e8, d=128, m=32, step=32, parallel=4; batch 32 -> 16 partitions).
+
+Usage: python scripts/plan_100m.py  (forces a CPU mesh; safe anywhere)
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from pacmann_tpu.pir import layout
+from pacmann_tpu.pir.params import derive_batch_params, derive_piano_params
+
+N = 100_000_000
+D, M = 128, 32
+ENTRY = 4 * (D + M)          # 640 B
+BATCH = 32                   # -> 16 partitions (batch-pir.go:62-64)
+FAIL_LOG2 = 8
+N_CHIPS = 8
+HBM_PER_CHIP = 16 << 30      # v5e
+
+
+def gib(x):
+    return round(x / (1 << 30), 3)
+
+
+def main():
+    c = derive_batch_params(N, ENTRY, BATCH, FAIL_LOG2)
+    p = derive_piano_params(c.partition_size, ENTRY, FAIL_LOG2)
+    k = layout.entry_rows(ENTRY // 4)
+    Ep = k * 128
+    P = c.partition_num
+    per_chip_parts = P // N_CHIPS
+    T = p.total_tags
+    off_bytes = 2 if p.chunk_size <= (1 << 16) else 4
+
+    per_part = {
+        "db_shard": p.set_size * p.chunk_size * k * 128 * 4,
+        "parities": T * Ep * 4,
+        "prf_table_u16": T * p.set_size * off_bytes,
+        "slot_col_u16": p.set_size * p.primary_hint_num * off_bytes,
+        "repl_val": p.set_size * p.max_query_per_chunk * Ep * 4,
+        "repl_idx": p.set_size * p.max_query_per_chunk * 4,
+    }
+    per_chip = {kk: v * per_chip_parts for kk, v in per_part.items()}
+    total_chip = sum(per_chip.values())
+
+    plan = {
+        "config": {"n": N, "d": D, "m": M, "entry_bytes": ENTRY,
+                   "batch": BATCH, "partitions": P, "chips": N_CHIPS,
+                   "partitions_per_chip": per_chip_parts},
+        "derived": {"partition_size": c.partition_size,
+                    "chunk_size": p.chunk_size, "set_size": p.set_size,
+                    "primary_hint_num": p.primary_hint_num,
+                    "max_query_num": p.max_query_num,
+                    "max_query_per_chunk": p.max_query_per_chunk,
+                    "total_tags": T, "entry_rows": k},
+        "per_chip_gib": {kk: gib(v) for kk, v in per_chip.items()},
+        "per_chip_total_gib": gib(total_chip),
+        "hbm_per_chip_gib": gib(HBM_PER_CHIP),
+        "fits": bool(total_chip < 0.8 * HBM_PER_CHIP),
+        "client_extra_state_gib": gib(
+            (T * p.set_size + p.set_size * p.primary_hint_num)
+            * off_bytes * P),
+        "client_reference_model_gib": gib(p.local_storage_bytes() * P),
+        "offline_prep_est_s_v5e8": round(
+            # hint-gen streams the DB shard once per chip at HBM rate
+            # (measured: MM kernel ~78% of peak; 0.23 s for 0.65 GB at 1M)
+            (per_chip["db_shard"] / (0.65 * (1 << 30))) * 0.23, 1),
+    }
+    print(json.dumps(plan, indent=1))
+    assert plan["fits"], "per-chip budget does not close"
+
+    # ---- miniature 8-shard prep+query, same entry shape (640 B, k=2)
+    from pacmann_tpu.parallel.sharding import make_mesh
+    from pacmann_tpu.pir.sharded_engine import ShardedPianoEngine
+
+    n_mini = 131_072
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 2**32, size=(n_mini, ENTRY // 4), dtype=np.uint32)
+    mesh = make_mesh(N_CHIPS)
+    eng = ShardedPianoEngine(n_mini, ENTRY, BATCH, raw, FAIL_LOG2, mesh)
+    eng.preprocessing(rng=np.random.default_rng(4))
+    ids = [int(i * eng.config.partition_size + 7)
+           for i in range(eng.config.partition_num)] * 2
+    out = eng.query(ids)
+    ok = sum(np.array_equal(out[r], raw[i]) for r, i in enumerate(ids))
+    print(f"mini 8-shard prep+query: {ok}/{len(ids)} exact", flush=True)
+    assert ok >= len(ids) - 2
+    plan["mini_run"] = {"n": n_mini, "exact": int(ok), "total": len(ids)}
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "reports", "sift100m_plan.json")
+    with open(out_path, "w") as f:
+        json.dump(plan, f, indent=1)
+    print(f"plan -> {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

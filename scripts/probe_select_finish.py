@@ -62,7 +62,11 @@ def main():
             carry = carry_of(state)
 
             def body(carry, i):
-                out = step_body(state, carry, idx, rnd)
+                # vary inputs per step: WhileLoopInvariantCodeMotion would
+                # otherwise hoist the whole phase out of the loop body
+                idx_i = (idx + i) % np.int32(c.partition_size)
+                rnd_i = (rnd + jnp.uint32(i)) % np.uint32(C)
+                out = step_body(state, carry, idx_i, rnd_i)
                 return out, None
 
             carry, _ = jax.lax.scan(body, carry,
