@@ -389,12 +389,18 @@ def _robust_prune_batch(vectors, u_ids, cand_ids, cand_valid, m):
 
 def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                 seed: int = 0, block: int = 2048,
-                verbose: bool = False) -> np.ndarray:
+                verbose: bool = False,
+                quality_gate: bool | None = None) -> np.ndarray:
     """vectors (n, d) float32 -> graph (n, m) int32.
 
     Phases 1-2 run as whole-round device programs (adjacency resident in
     HBM, one dispatch per round); phase 3's edge bookkeeping is host NumPy
     with device distance passes for the hub prune pools.
+
+    quality_gate: run the post-build self-query probe and print hit rate /
+    average steps, the reference's EvaluateGraphQuality call inside
+    BuildGraph (build_graph.go:102,764-805). Defaults to `verbose` (every
+    script build runs it; silent unit-test builds skip the extra searches).
     """
     rng = np.random.default_rng(seed)
     vectors = np.asarray(vectors, np.float32)
@@ -505,7 +511,17 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                                     block=blk)
     out = np.asarray(out_dev[:n]).astype(np.int64)
     graph = _random_fill(out, m, rng, verbose)
-    return graph.astype(np.int32)
+    graph = graph.astype(np.int32)
+    if quality_gate is None:
+        quality_gate = verbose
+    if quality_gate:
+        from pacmann_tpu.graph.recall import evaluate_graph_quality
+
+        hit_rate, avg_steps = evaluate_graph_quality(
+            vectors, graph, num_queries=min(100, n), seed=seed)
+        print(f"graph quality gate: self-query hit rate {hit_rate:.3f}, "
+              f"avg steps {avg_steps:.1f}", flush=True)
+    return graph
 
 
 def _random_fill(out: "np.ndarray", m: int, rng,

@@ -103,10 +103,14 @@ def _prep_fused(db4, masks, repl_off, *, T: int, S: int, C: int, Hp: int,
 
     P = masks.shape[0]
     Ep = k * 128
-    table = jnp.stack([
-        aes._prf_table_on_device(masks[p], T, S, chunk_mask)
-        for p in range(P)
-    ])                                                   # (P, T, S) u32
+    # lax.map, not a Python unroll: the bitsliced AES circuit is by far
+    # the largest subgraph here, and P unrolled copies made the offline
+    # program's HLO (and its remote compile, ~350 s at SIFT1M) P times
+    # bigger. map keeps ONE copy (same sequential execution, same small
+    # working set) and compiles ~P times less AES.
+    table = jax.lax.map(
+        lambda mk: aes._prf_table_on_device(mk, T, S, chunk_mask),
+        masks)                                           # (P, T, S) u32
     skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
     parities = xor_hintgen_mm(db4, table, skip, k)       # (P, T, Ep)
     repl_val = _gather_repl(db4, repl_off, k=k, Ep=Ep)   # (P, S, R, Ep)
