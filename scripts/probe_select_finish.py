@@ -58,7 +58,7 @@ def main():
 
     def scan_probe(step_body, tag):
         @jax.jit
-        def run(state, idx, rnd):
+        def run(state, idx, rnd, db):
             carry = carry_of(state)
 
             def body(carry, i):
@@ -66,7 +66,7 @@ def main():
                 # otherwise hoist the whole phase out of the loop body
                 idx_i = (idx + i) % np.int32(c.partition_size)
                 rnd_i = (rnd + jnp.uint32(i)) % np.uint32(C)
-                out = step_body(state, carry, idx_i, rnd_i)
+                out = step_body(state, carry, idx_i, rnd_i, db)
                 return out, None
 
             carry, _ = jax.lax.scan(body, carry,
@@ -78,17 +78,17 @@ def main():
                     if leaf.dtype != jnp.bool_ else jnp.uint32(0)
             return acc
 
-        r = run(st, idx, rnd)
+        r = run(st, idx, rnd, eng.db)
         np.asarray(r)          # warm compile + sync
         t0 = time.perf_counter()
-        r = run(st, idx, rnd)
+        r = run(st, idx, rnd, eng.db)
         np.asarray(r)
         dt = (time.perf_counter() - t0) / NSTEP
         print(f"{tag}: {dt*1000:.2f} ms/step", flush=True)
         return dt
 
     # S1: select only (mutate a cheap carry leaf so the scan isn't constant)
-    def sel_only(state, carry, idx, rnd):
+    def sel_only(state, carry, idx, rnd, db):
         sel, qs = _pir_select(state["table"], state["repl_idx"], carry,
                               idx, rnd, **kw)
         tag_, prog, ppar, slot_col, hist, fin = carry
@@ -96,18 +96,18 @@ def main():
         return (tag_, prog, ppar, slot_col, hist, fin)
 
     # S2: select + MM server scan
-    def sel_scan(state, carry, idx, rnd):
+    def sel_scan(state, carry, idx, rnd, db):
         sel, qs = _pir_select(state["table"], state["repl_idx"], carry,
                               idx, rnd, **kw)
-        resp = xor_server_scan(eng.db, qs, eng.k).reshape(Q, P, eng.k * 128)
+        resp = xor_server_scan(db, qs, eng.k).reshape(Q, P, eng.k * 128)
         tag_, prog, ppar, slot_col, hist, fin = carry
         fin = fin + resp[0, :, 0].astype(jnp.int32) + sel[0][0]
         return (tag_, prog, ppar, slot_col, hist, fin)
 
     # S3: the full batch (select + scan + finish)
-    def full(state, carry, idx, rnd):
+    def full(state, carry, idx, rnd, db):
         carry, entries, oks = _pir_batch(
-            eng.db, state["table"], state["repl_idx"], state["repl_val"],
+            db, state["table"], state["repl_idx"], state["repl_val"],
             state["backup_parity"], carry, idx, rnd, **kw)
         return carry
 
