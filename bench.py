@@ -196,39 +196,35 @@ def main() -> int:
     online_ms = (time.perf_counter() - t1) / iters * 1000
 
     # fused end-to-end private query: the full 20-step beam+PIR search as
-    # one device program (reference compute baseline: 55.9 ms/query)
+    # one device program. Accounting mirrors the reference report's TWO
+    # per-query lines (private-search-report.txt:16,19): compute per query
+    # (refresh excluded — ensure_budget runs it beforehand, and any
+    # mid-search refresh is subtracted via last_maintenance_s) and
+    # amortized maintenance per query (all hint-regeneration time spread
+    # over the queries served). Reference: 55.9 ms compute + 115 ms maint.
     from pacmann_tpu.private.fused_search import FusedPrivateSearch
 
     graph = raw[:, dim : dim + m].astype(np.int64) % n
     sids = rng.choice(n, min(1000, int(np.sqrt(n))), replace=False)
     svecs = np.ascontiguousarray(raw[sids, :dim]).view("<f4")
     fs = FusedPrivateSearch(pir, sids, svecs, graph[sids], dim=dim, m=m, n=n)
-    queries = rng.random((1, dim), dtype=np.float32)
-    fs.search(queries, k=10, max_step=20, parallel=3, seed=9)  # compile
-    fq = []
-    for rep in range(3):
-        t2 = time.perf_counter()
-        fs.search(queries, k=10, max_step=20, parallel=3, seed=10 + rep)
-        fq.append(time.perf_counter() - t2)
-    fused_query_ms = min(fq) * 1000
 
-    # group-16 concurrent mode: 16 queries share each step's PIR batch
-    # (the reference's concurrent search, private-search.go:216-266) —
-    # amortizes the dispatch round trip and the per-step op overhead
-    q16 = rng.random((16, dim), dtype=np.float32)
-    fs.search(q16, k=10, max_step=20, parallel=3, seed=20)  # compile
-    fq16 = []
-    for rep in range(3):
-        t2 = time.perf_counter()
-        fs.search(q16, k=10, max_step=20, parallel=3, seed=21 + rep)
-        fq16.append(time.perf_counter() - t2)
-    fused16_ms_per_query = min(fq16) * 1000 / 16
+    def fused_time(G: int, seed0: int, reps: int = 3):
+        q = rng.random((G, dim), dtype=np.float32)
+        fs.search(q, k=10, max_step=20, parallel=3, seed=seed0)  # compile
+        comp = []
+        fs.maintenance_s = 0.0
+        for rep in range(reps):
+            fs.ensure_budget(20, G, 3)
+            t2 = time.perf_counter()
+            fs.search(q, k=10, max_step=20, parallel=3, seed=seed0 + 1 + rep)
+            comp.append(time.perf_counter() - t2 - fs.last_maintenance_s)
+        maint_ms = fs.maintenance_s * 1000 / (reps * G)
+        return min(comp) * 1000 / G, maint_ms
 
-    # amortized maintenance: one prep amortized over the queries a budget
-    # window serves in group-16 mode (reference line: 0.115 s/query)
-    quota16 = 16 * 3 * m // pir.config.partition_num
-    window_queries = 16 * (pir.params.max_query_num // (20 * quota16 + 10))
-    maint_ms_per_query = t * 1000 / max(window_queries, 1)
+    fused_query_ms, _ = fused_time(1, 9)
+    fused16_ms_per_query, maint_ms_per_query = fused_time(16, 20, reps=5)
+    fused32_ms_per_query, maint32_ms_per_query = fused_time(32, 40, reps=5)
 
     db_gb = n * entry_bytes / 1e9
     scale = n / 1_000_000.0
@@ -248,7 +244,10 @@ def main() -> int:
             "online_success_rate": round(ok / max(tot, 1), 4),
             "fused_private_query_ms": round(fused_query_ms, 2),
             "fused16_ms_per_query": round(fused16_ms_per_query, 2),
+            "fused32_ms_per_query": round(fused32_ms_per_query, 2),
             "maintenance_ms_per_query_group16": round(maint_ms_per_query, 2),
+            "maintenance_ms_per_query_group32": round(
+                maint32_ms_per_query, 2),
             "reference_query_compute_ms": 55.9,
             "reference_maintenance_ms": 115.0,
             "platform": jax.devices()[0].platform,

@@ -540,6 +540,8 @@ class DevicePianoEngine:
         """Benchmark mode: zeroed hint state, fixed access pattern online."""
         if rng is not None:
             self._rng = rng
+        self.finished_batch_num = 0
+        self.queries_made_in_partition = 0
         p = self.params
         P = self.config.partition_num
         S, R, Hp = p.set_size, p.max_query_per_chunk, p.primary_hint_num

@@ -165,22 +165,23 @@ def run_private_search(cfg: PrivateSearchConfig,
 
     if fused_mode:
         # the whole beam+PIR search runs as one device program per group;
-        # the wrapper refreshes hints proactively (maintenance not split out)
+        # hint refreshes inside fs.search are tallied in fs.maintenance_s
+        # and split out of the per-query compute time, mirroring the
+        # reference report's two lines (private-search-report.txt:16,19)
         from pacmann_tpu.private.fused_search import FusedPrivateSearch
 
         sids, svecs, snbrs = frontend.start
         fs = FusedPrivateSearch(oracle.pir, sids, svecs, snbrs,
                                 dim=cfg.dim, m=cfg.m, n=cfg.n)
         # warm-up compile on the first group shape; then a fresh budget.
-        # In benchmarking mode (dummy prep requested) the refresh must also
+        # In benchmarking mode (dummy prep requested) refreshes must also
         # be dummy — a real hint-gen here would silently distort timings.
+        fs.refresh_dummy = cfg.benchmarking
         first = min(group, cfg.q)
         fs.search(queries[:first], cfg.k, cfg.max_step, cfg.parallel,
                   seed=cfg.seed)
-        if cfg.benchmarking:
-            oracle.pir.dummy_preprocessing(rng=rng)
-        else:
-            oracle.pir.preprocessing()
+        fs._refresh()
+        fs.maintenance_s = 0.0
         t0 = time.perf_counter()
         with profile_cm:
             for i in range(0, cfg.q, group):
@@ -193,12 +194,13 @@ def run_private_search(cfg: PrivateSearchConfig,
                 out = fs.search(g, cfg.k, cfg.max_step, cfg.parallel,
                                 seed=cfg.seed + 1 + i)
                 answers[i:j] = out[: j - i]
-        search_time = time.perf_counter() - t0
+        maintenance = fs.maintenance_s
+        search_time = time.perf_counter() - t0 - maintenance
         avg_time = search_time / max(cfg.q, 1)
         # fused mode does not report reach_steps (stays -1): the per-result
         # first-reached-step bookkeeping is not tracked inside the fused
         # device program (it would add a gather per step for a debug metric).
-        return _finalize(cfg, oracle, answers, steps, avg_time, 0.0,
+        return _finalize(cfg, oracle, answers, steps, avg_time, maintenance,
                          prep_time, gnd, window)
 
     t0 = time.perf_counter()

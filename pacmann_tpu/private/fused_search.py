@@ -9,10 +9,14 @@ real client/server link). Here the ENTIRE search runs inside a single jit:
     1. frontier pop: `parallel` best unexplored vertices per query
        (masked extract-min via top_k — the heap's extract-min,
        graphann/search.go:150-171)
-    2. in-batch dedup (the reference's response-cache semantics,
-       pianopir/pir.go:381-383): only the FIRST occurrence of an id is
-       routed to PIR; duplicates read the first's response and spend no
-       quota or budget
+    2. dedup (the reference's response-cache semantics,
+       pianopir/pir.go:381-383): an id already in its query's visited
+       table (fetched by an EARLIER step) is never re-fetched, and only
+       the FIRST same-step occurrence of an id is routed to PIR;
+       duplicates read the first's response. Neither spends quota or
+       budget — their PIR rows become dummies (random offsets), which
+       are indistinguishable to the server, so the access pattern stays
+       oblivious while the budget window stretches
     3. oblivious fetch routing: the surviving neighbor ids are ranked
        within their batch-PIR partitions (one-hot cumsum); the first
        `quota` per partition become sub-queries, overflow is dropped to
@@ -37,6 +41,7 @@ Only (Qn, k) ids leave the device.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -124,12 +129,21 @@ def _fused_segment(db, pir_state, beam, queries, steps, keys,
         fid = jnp.where(valid[:, :, None], popped, rand_ids).reshape(F)
         fid = jnp.clip(fid, 0, n - 1)
 
-        # 2. in-batch dedup (reference cache semantics, pir.go:381-383):
-        # only first occurrences go to PIR; duplicates read the first's
-        # response below and consume no quota or budget
-        eqm = fid[:, None] == fid[None, :]
+        # 2. dedup (reference cache semantics, pir.go:381-383):
+        # (a) cross-step: an id already in this query's visited table was
+        #     fetched by an earlier step — its (vector, neighbors) would be
+        #     discarded by the `known` filter below anyway, so don't spend
+        #     a PIR slot on it;
+        # (b) in-step: of the remaining ("wanted") copies, only the FIRST
+        #     goes to PIR; duplicates read the first's response.
+        known = jax.vmap(
+            lambda f, i: jnp.any(f[:, None] == i[None, :], axis=1)
+        )(fid.reshape(Qn, parallel * m), ids)            # (Qn, parallel*m)
+        wanted = ~known.reshape(F)
+        eqm = (fid[:, None] == fid[None, :]) & wanted[None, :]
+        has_first = jnp.any(eqm, axis=1)
         fo_idx = jnp.argmax(eqm, axis=1).astype(jnp.int32)
-        is_first = fo_idx == jnp.arange(F, dtype=jnp.int32)
+        is_first = (fo_idx == jnp.arange(F, dtype=jnp.int32)) & wanted
 
         # 3. partition routing with FCFS quota (batch-pir.go:178-216)
         pa = fid // psize                                # (F,)
@@ -164,10 +178,10 @@ def _fused_segment(db, pir_state, beam, queries, steps, keys,
             [oks.reshape(quota * P), jnp.zeros(1, bool)])
         # every fetch reads its FIRST OCCURRENCE's response slot
         # (overflow/failed firsts resolve to the zero row)
-        sfo = slot[fo_idx]
+        sfo = jnp.where(has_first, slot[fo_idx], -1)
         rslot = jnp.where(sfo >= 0, sfo, quota * P)
         res = entries_flat[rslot]                        # (F, Ep)
-        res_ok = ok_flat[rslot] & keep[fo_idx]
+        res_ok = ok_flat[rslot] & keep[fo_idx] & has_first
 
         # 5. decode + visited-table update (search.go:187-207)
         vec = jax.lax.bitcast_convert_type(
@@ -184,9 +198,6 @@ def _fused_segment(db, pir_state, beam, queries, steps, keys,
         d_q = cdist.reshape(Qn, parallel * m)
         ok_q = res_ok.reshape(Qn, parallel * m)
 
-        known = jax.vmap(
-            lambda f, i: jnp.any(f[:, None] == i[None, :], axis=1)
-        )(fid_q, ids)
         firstocc = jax.vmap(_first_occurrence)(fid_q)
         nonzero = jnp.any(nb_q != 0, axis=2)
         accept = ~known & firstocc & nonzero & ok_q
@@ -235,6 +246,35 @@ class FusedPrivateSearch:
         self.start_vecs = jnp.asarray(start_vecs, jnp.float32)
         self.start_nbrs = jnp.asarray(start_nbrs, jnp.int32)
         self.refreshes = 0          # mid-group hint refreshes performed
+        # maintenance = hint-regeneration time, reported SEPARATELY from
+        # query compute exactly like the reference report's two lines
+        # ("avg compute per query" vs "amortized maintenance per query",
+        # private-search-report.txt:16,19)
+        self.maintenance_s = 0.0        # cumulative, incl. ensure_budget
+        self.last_maintenance_s = 0.0   # refresh time inside the last search
+        self.refresh_dummy = False      # benchmarking: zeroed-hint refresh
+
+    def _refresh(self) -> float:
+        t0 = time.perf_counter()
+        if self.refresh_dummy:
+            self.engine.dummy_preprocessing()
+        else:
+            self.engine.preprocessing()
+        dt = time.perf_counter() - t0
+        self.maintenance_s += dt
+        return dt
+
+    def ensure_budget(self, max_step: int, n_queries: int, parallel: int):
+        """Refresh hints NOW if the next such search would otherwise hit a
+        refresh at its first segment — lets callers keep maintenance out of
+        latency-critical paths (the reference runs maintenance between
+        batches the same way, batch-pir.go:239-245)."""
+        e = self.engine
+        quota = n_queries * parallel * self.m // e.config.partition_num
+        seg = self.segment_plan(max_step, quota)[0]
+        if (e.state is None or e.queries_made_in_partition + seg * quota
+                + 10 >= e.params.max_query_num):
+            self._refresh()
 
     def segment_plan(self, max_step: int, quota: int) -> list[int]:
         """Split max_step into segments each fitting the per-partition
@@ -278,13 +318,15 @@ class FusedPrivateSearch:
                   dpp=DEFAULT_PROGRAM_POINT, dim=self.dim, m=self.m, P=P,
                   parallel=parallel, quota=quota, n=self.n)
         queries_d = jnp.asarray(queries, jnp.float32)
+        self.last_maintenance_s = 0.0
         base = 0
         for seg in seg_lens:
             need = seg * quota
-            # refresh when the budget cannot cover this segment
-            # (private-search.go:224-230's proactive margin)
+            # refresh when the WORST-CASE budget cannot cover this segment
+            # (private-search.go:224-230's proactive margin); the estimate
+            # is corrected to the device-measured truth after the search
             if e.queries_made_in_partition + need + 10 >= p.max_query_num:
-                e.preprocessing()
+                self.last_maintenance_s += self._refresh()
                 if base > 0:
                     self.refreshes += 1
             steps = jnp.arange(base, base + seg, dtype=jnp.int32)
@@ -297,7 +339,13 @@ class FusedPrivateSearch:
             base += seg
 
         out_ids = _finish_topk(beam[0], beam[1], topk=k)
-        return np.asarray(out_ids).astype(np.int64)
+        # one device_get for the answers AND the true per-partition budget
+        # consumption: dedup'd / dummy rows never spend device budget, so
+        # the measured `finished` is far below the worst-case estimate —
+        # stretching each budget window over more searches (fewer refreshes)
+        out_np, fin = jax.device_get((out_ids, e.state["finished"]))
+        e.queries_made_in_partition = int(fin.max())
+        return np.asarray(out_np).astype(np.int64)
 
     def budget_left(self) -> int:
         return self.engine.params.max_query_num \

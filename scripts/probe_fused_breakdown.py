@@ -34,20 +34,26 @@ def main():
     svecs = np.ascontiguousarray(raw[sids, :dim]).view("<f4")
     fs = FusedPrivateSearch(eng, sids, svecs, graph[sids], dim=dim, m=m, n=n)
 
-    for G, tag in ((16, "C fused16"), (32, "D fused32")):
+    for G, tag in ((16, "C fused16"), (32, "D fused32"), (64, "E fused64")):
         q = rng.random((G, dim), dtype=np.float32)
         t0 = time.perf_counter()
         fs.search(q, k=10, max_step=20, parallel=3, seed=40 + G)  # compile
         print(f"{tag} compile+run: {time.perf_counter()-t0:.1f}s "
               f"(plan {fs.segment_plan(20, G * 3 * m // 16)})", flush=True)
-        ts = []
-        for rep in range(3):
+        comp = []
+        fs.maintenance_s = 0.0
+        used = []
+        for rep in range(5):
+            fs.ensure_budget(20, G, 3)
             t0 = time.perf_counter()
             fs.search(q, k=10, max_step=20, parallel=3, seed=50 + G + rep)
-            ts.append(time.perf_counter() - t0)
-        best = min(ts)
-        print(f"{tag} total: {best*1000:.1f} ms ({best*1000/G:.2f} ms/query)"
-              f" refreshes so far {fs.refreshes}", flush=True)
+            comp.append(time.perf_counter() - t0 - fs.last_maintenance_s)
+            used.append(eng.queries_made_in_partition)
+        best = min(comp)
+        print(f"{tag} compute: {best*1000:.1f} ms ({best*1000/G:.2f} "
+              f"ms/query) | maint {fs.maintenance_s*1000/(5*G):.2f} ms/query"
+              f" | used/window {used} (budget "
+              f"{eng.params.max_query_num})", flush=True)
 
 
 if __name__ == "__main__":
