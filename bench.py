@@ -39,11 +39,16 @@ REFERENCE_HINTGEN_S = 2.64  # private-search-report.txt:14
 
 
 def synth_raw(n: int, entry_u32: int, seed: int = 0,
-              float_cols: int = 0) -> np.ndarray:
+              float_cols: int = 0, nbr_cols: int = 0) -> np.ndarray:
     """Fast synthetic DB: tile one random megablock, then make rows unique.
     (Content is irrelevant to timing; uniqueness keeps correctness checks
     meaningful.) The first `float_cols` words carry valid f32 bit patterns
-    so vector decoding yields finite distances."""
+    so vector decoding yields finite distances. When `nbr_cols` > 0, the
+    words [float_cols, float_cols+nbr_cols) are rewritten with DISTINCT
+    uniform ids in [0, n): the fused search decodes its graph from these
+    columns, and tiled/garbage words there would make nearly every fetch
+    a duplicate of id 0 / n-1 after one step — wildly overstating the
+    dedup rate and understating hint-refresh maintenance."""
     rng = np.random.default_rng(seed)
     block = 1 << 14
     base = rng.integers(0, 2**32, size=(block, entry_u32), dtype=np.uint32)
@@ -53,6 +58,9 @@ def synth_raw(n: int, entry_u32: int, seed: int = 0,
     reps = (n + block - 1) // block
     raw = np.tile(base, (reps, 1))[:n]
     raw[:, 0] = np.arange(n, dtype=np.uint32)  # distinct entries
+    if nbr_cols:
+        raw[:, float_cols:float_cols + nbr_cols] = rng.integers(
+            0, n, size=(n, nbr_cols), dtype=np.uint32)
     return raw
 
 
@@ -167,7 +175,7 @@ def main() -> int:
 
     from pacmann_tpu.pir.device_engine import DevicePianoEngine
 
-    raw = synth_raw(n, entry_bytes // 4, float_cols=dim)
+    raw = synth_raw(n, entry_bytes // 4, float_cols=dim, nbr_cols=m)
     pir = DevicePianoEngine(n, entry_bytes, batch, raw, 8)
     jax.block_until_ready(pir.db)
 
@@ -214,17 +222,22 @@ def main() -> int:
         fs.search(q, k=10, max_step=20, parallel=3, seed=seed0)  # compile
         comp = []
         fs.maintenance_s = 0.0
+        fs.fetch_stats[:] = 0
         for rep in range(reps):
             fs.ensure_budget(20, G, 3)
             t2 = time.perf_counter()
             fs.search(q, k=10, max_step=20, parallel=3, seed=seed0 + 1 + rep)
             comp.append(time.perf_counter() - t2 - fs.last_maintenance_s)
         maint_ms = fs.maintenance_s * 1000 / (reps * G)
-        return min(comp) * 1000 / G, maint_ms
+        return min(comp) * 1000 / G, maint_ms, fs.fetch_success_rate()
 
-    fused_query_ms, _ = fused_time(1, 9)
-    fused16_ms_per_query, maint_ms_per_query = fused_time(16, 20, reps=5)
-    fused32_ms_per_query, maint32_ms_per_query = fused_time(32, 40, reps=5)
+    fused_query_ms, _, _ = fused_time(1, 9)
+    fused16_ms_per_query, maint_ms_per_query, succ16 = fused_time(
+        16, 20, reps=5)
+    fused32_ms_per_query, maint32_ms_per_query, succ32 = fused_time(
+        32, 40, reps=5)
+    fused64_ms_per_query, maint64_ms_per_query, succ64 = fused_time(
+        64, 60, reps=5)
 
     db_gb = n * entry_bytes / 1e9
     scale = n / 1_000_000.0
@@ -248,6 +261,12 @@ def main() -> int:
             "maintenance_ms_per_query_group16": round(maint_ms_per_query, 2),
             "maintenance_ms_per_query_group32": round(
                 maint32_ms_per_query, 2),
+            "fused64_ms_per_query": round(fused64_ms_per_query, 2),
+            "maintenance_ms_per_query_group64": round(
+                maint64_ms_per_query, 2),
+            "fused16_fetch_success": round(succ16, 4),
+            "fused32_fetch_success": round(succ32, 4),
+            "fused64_fetch_success": round(succ64, 4),
             "reference_query_compute_ms": 55.9,
             "reference_maintenance_ms": 115.0,
             "platform": jax.devices()[0].platform,

@@ -113,7 +113,7 @@ def _fused_segment(db, pir_state, beam, queries, steps, keys,
     bpar = pir_state["backup_parity"]
 
     def step_fn(carry, step_inp):
-        (ids, dist, nbrs, explored, pir_carry) = carry
+        (ids, dist, nbrs, explored, pir_carry, stats) = carry
         step_idx, step_key = step_inp
 
         # 1. frontier pop
@@ -214,18 +214,29 @@ def _fused_segment(db, pir_state, beam, queries, steps, keys,
         explored = jax.lax.dynamic_update_slice(
             explored, ~accept, (0, base))
 
-        return (ids, dist, nbrs, explored, pir_carry), None
+        # fetch-success accounting (device-measured): distinct wanted
+        # fetches, quota survivors, and PIR-served survivors. The drop
+        # rate this exposes is the FCFS + hint-miss failure surface the
+        # reference reports as its per-query success rate.
+        stats = stats + jnp.stack(
+            [jnp.sum(is_first, dtype=jnp.int32),
+             jnp.sum(keep, dtype=jnp.int32),
+             jnp.sum(oks, dtype=jnp.int32)])
+
+        return (ids, dist, nbrs, explored, pir_carry, stats), None
 
     pir_carry = (pir_state["tag"], pir_state["prog"],
                  pir_state["primary_parity"], pir_state["slot_col"],
                  pir_state["hist"], pir_state["finished"])
-    (ids, dist, nbrs, explored, pir_carry), _ = jax.lax.scan(
-        step_fn, (ids, dist, nbrs, explored, pir_carry), (steps, keys))
+    stats = jnp.zeros(3, jnp.int32)
+    (ids, dist, nbrs, explored, pir_carry, stats), _ = jax.lax.scan(
+        step_fn, (ids, dist, nbrs, explored, pir_carry, stats),
+        (steps, keys))
 
     tag, prog, ppar, slot_col, hist, finished = pir_carry
     new_state = dict(pir_state, tag=tag, prog=prog, primary_parity=ppar,
                      slot_col=slot_col, hist=hist, finished=finished)
-    return new_state, (ids, dist, nbrs, explored)
+    return new_state, (ids, dist, nbrs, explored), stats
 
 
 @functools.partial(jax.jit, static_argnames=("topk",))
@@ -253,6 +264,9 @@ class FusedPrivateSearch:
         self.maintenance_s = 0.0        # cumulative, incl. ensure_budget
         self.last_maintenance_s = 0.0   # refresh time inside the last search
         self.refresh_dummy = False      # benchmarking: zeroed-hint refresh
+        # device-measured fetch accounting, cumulative over searches:
+        # [distinct wanted fetches, quota survivors, PIR-served]
+        self.fetch_stats = np.zeros(3, np.int64)
 
     def _refresh(self) -> float:
         t0 = time.perf_counter()
@@ -319,6 +333,7 @@ class FusedPrivateSearch:
                   parallel=parallel, quota=quota, n=self.n)
         queries_d = jnp.asarray(queries, jnp.float32)
         self.last_maintenance_s = 0.0
+        seg_stats = []
         base = 0
         for seg in seg_lens:
             need = seg * quota
@@ -330,9 +345,10 @@ class FusedPrivateSearch:
                 if base > 0:
                     self.refreshes += 1
             steps = jnp.arange(base, base + seg, dtype=jnp.int32)
-            e.state, beam = _fused_segment(
+            e.state, beam, stats = _fused_segment(
                 e.db, e.state, beam, queries_d, steps,
                 keys[base : base + seg], seg_len=seg, **kw)
+            seg_stats.append(stats)
             # budget bookkeeping mirrors engine.query (batch-pir.go:239-245)
             e.queries_made_in_partition += need
             e.finished_batch_num += seg * (F // e.config.batch_size)
@@ -343,10 +359,17 @@ class FusedPrivateSearch:
         # consumption: dedup'd / dummy rows never spend device budget, so
         # the measured `finished` is far below the worst-case estimate —
         # stretching each budget window over more searches (fewer refreshes)
-        out_np, fin = jax.device_get((out_ids, e.state["finished"]))
+        out_np, fin, stat_np = jax.device_get(
+            (out_ids, e.state["finished"], seg_stats))
         e.queries_made_in_partition = int(fin.max())
+        self.fetch_stats += np.sum(stat_np, axis=0, dtype=np.int64)
         return np.asarray(out_np).astype(np.int64)
 
     def budget_left(self) -> int:
         return self.engine.params.max_query_num \
             - self.engine.queries_made_in_partition
+
+    def fetch_success_rate(self) -> float:
+        """Served / distinct-wanted fetches (cumulative, device-measured)."""
+        want = int(self.fetch_stats[0])
+        return float(self.fetch_stats[2]) / want if want else 1.0

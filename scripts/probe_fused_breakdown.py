@@ -21,7 +21,7 @@ def main():
 
     n, dim, m = 1_000_000, 128, 32
     entry_bytes = 4 * dim + 4 * m
-    raw = synth_raw(n, entry_bytes // 4, float_cols=dim)
+    raw = synth_raw(n, entry_bytes // 4, float_cols=dim, nbr_cols=m)
     eng = DevicePianoEngine(n, entry_bytes, m, raw, 8)
     np.asarray(eng.db[-1, -1, -1])
     print("db up", flush=True)
@@ -42,6 +42,7 @@ def main():
               f"(plan {fs.segment_plan(20, G * 3 * m // 16)})", flush=True)
         comp = []
         fs.maintenance_s = 0.0
+        fs.fetch_stats[:] = 0
         used = []
         for rep in range(5):
             fs.ensure_budget(20, G, 3)
@@ -52,6 +53,8 @@ def main():
         best = min(comp)
         print(f"{tag} compute: {best*1000:.1f} ms ({best*1000/G:.2f} "
               f"ms/query) | maint {fs.maintenance_s*1000/(5*G):.2f} ms/query"
+              f" | success {fs.fetch_success_rate():.4f} "
+              f"(want/kept/served {fs.fetch_stats.tolist()})"
               f" | used/window {used} (budget "
               f"{eng.params.max_query_num})", flush=True)
 
