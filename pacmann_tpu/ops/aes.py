@@ -320,6 +320,38 @@ def _prf_tables_fused(masks, T: int, S: int, chunk_mask: int):
     return (out[:, :n] & jnp.uint32(chunk_mask)).reshape(P, T, S)
 
 
+@jax.jit
+def prf_eval_fused(masks, tags, xs, chunk_mask):
+    """Per-partition-keyed batched PRF: out[p, l] = PRF_p(tags[p,l],
+    xs[p,l]) & chunk_mask, all partitions in ONE bitsliced program.
+
+    The table-free client primitive (pir.go:404-427 evaluates the PRF
+    online instead of storing the (T, S) offset table; this is that
+    evaluation, batched): masks (P, 11, 8, 16) per-partition round-key
+    planes, tags/xs (P, L) u32 with L % 32 == 0. The bitsliced circuit is
+    plane-wise, so the partition axis rides along exactly as in
+    _prf_tables_fused; packing 32 consecutive lanes per u32 keeps each
+    partition's lanes in its own contiguous word rows, so the (8,16,P*L/32)
+    state reshapes to (8,16,P,W) with no data movement."""
+    P, L = tags.shape
+    lo = xs.reshape(-1)
+    hi = (tags << jnp.uint32(3)).reshape(-1)
+    zeros = jnp.zeros_like(lo)
+    S0 = _pack_words([lo, hi, zeros, zeros])        # (8, 16, P*L/32)
+    W = L // 32
+    S0 = S0.reshape(8, 16, P, W)
+    km = jnp.transpose(masks, (1, 2, 3, 0))[:, :, :, :, None]  # (11,8,16,P,1)
+    St = S0 ^ km[0]
+    for r in range(1, 10):
+        St = _mix_columns(_shift_rows(_sub_bytes(St))) ^ km[r]
+    St = _shift_rows(_sub_bytes(St)) ^ km[10]
+    St = St ^ S0                                     # MMO feed-forward
+    blk = St[:, 0:4, :, :]                           # (8, 4, P, W)
+    arr = jnp.transpose(blk, (2, 3, 1, 0)).reshape(-1, 32)
+    out = transpose32(arr).reshape(P, L)
+    return out & jnp.uint32(chunk_mask)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _mmo_low32_block(key_masks, lo, hi):
     return _mmo_low32_body(key_masks, lo, hi)

@@ -117,6 +117,52 @@ def main():
     print(f"split: select {t1*1000:.2f} | scan {(t2-t1)*1000:.2f} | "
           f"finish {(t3-t2)*1000:.2f} ms/step", flush=True)
 
+    # S4: table-free client cost — the per-step PRF evaluations that
+    # replace every (T, S)-table / slot_col read (VERDICT r2 task 5,
+    # reference model pir.go:404-427). Three reads per step:
+    #   eligibility columns  (Q, P, Hp)  <- slot_col gather
+    #   hit-set expansion    (Q, P, S)   <- table[hit_tag]
+    #   refresh columns      (Q, P, S)   <- table[btag]
+    # Evaluated online via the per-partition-keyed bitsliced circuit.
+    from pacmann_tpu.ops import aes as aes_ops
+
+    masks = jnp.asarray(np.stack(
+        [aes_ops.expand_key_planes(rng.bytes(16)) for _ in range(P)]))
+
+    def pad32(x):
+        return -(-x // 32) * 32
+
+    L_elig = pad32(Q * Hp)
+    L_exp = pad32(2 * Q * S)
+    print(f"prf lanes/step: elig {P}x{L_elig} + expand {P}x{L_exp} "
+          f"= {P*(L_elig+L_exp)/1e6:.2f} M evals", flush=True)
+
+    @jax.jit
+    def prf_step_cost(masks, seed):
+        def body(acc, i):
+            tg1 = (jax.lax.broadcasted_iota(jnp.uint32, (P, L_elig), 1)
+                   + seed + i) % np.uint32(Hp + 2)
+            xs1 = (jax.lax.broadcasted_iota(jnp.uint32, (P, L_elig), 1)
+                   * 7 + i) % np.uint32(S)
+            o1 = aes_ops.prf_eval_fused(masks, tg1, xs1, C - 1)
+            tg2 = (jax.lax.broadcasted_iota(jnp.uint32, (P, L_exp), 1)
+                   + seed * 3 + i) % np.uint32(Hp + 2)
+            xs2 = (jax.lax.broadcasted_iota(jnp.uint32, (P, L_exp), 1)
+                   * 11 + i) % np.uint32(S)
+            o2 = aes_ops.prf_eval_fused(masks, tg2, xs2, C - 1)
+            return acc ^ o1[0, 0] ^ o2[0, 0], None
+
+        acc, _ = jax.lax.scan(body, jnp.uint32(seed),
+                              jnp.arange(NSTEP, dtype=jnp.uint32))
+        return acc
+
+    np.asarray(prf_step_cost(masks, jnp.uint32(1)))     # compile
+    t0 = time.perf_counter()
+    np.asarray(prf_step_cost(masks, jnp.uint32(2)))
+    t4 = (time.perf_counter() - t0) / NSTEP
+    print(f"S4 table-free PRF add-on: {t4*1000:.2f} ms/step "
+          f"(table-free step ~= {(t3+t4)*1000:.2f} ms)", flush=True)
+
 
 if __name__ == "__main__":
     main()

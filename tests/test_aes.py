@@ -121,6 +121,24 @@ def test_prf_tables_fused_matches_host():
         assert np.array_equal(got[p], want), f"partition {p}"
 
 
+def test_prf_eval_fused_matches_host():
+    """Per-partition-keyed batched PRF (table-free client primitive) vs
+    the host AES-NI/NumPy oracle at arbitrary (tag, x) points."""
+    rng = np.random.default_rng(11)
+    keys = [rng.bytes(16) for _ in range(4)]
+    P, L, mask = 4, 96, 511
+    masks = np.stack([aes.expand_key_planes(k) for k in keys])
+    tags = rng.integers(0, 1 << 20, size=(P, L)).astype(np.uint32)
+    xs = rng.integers(0, 1 << 16, size=(P, L)).astype(np.uint32)
+    got = np.asarray(aes.prf_eval_fused(masks, tags, xs, mask))
+    for p, key in enumerate(keys):
+        rk = aes_host.expand_key(key)
+        want = (aes_host.prf_eval_u64(
+            rk, tags[p].astype(np.uint64), xs[p].astype(np.uint64))
+            & np.uint64(mask)).astype(np.uint32)
+        assert np.array_equal(got[p], want), f"partition {p}"
+
+
 @pytest.mark.parametrize("chunk_size", [512, 4096])
 def test_prf_offsets_masking(chunk_size):
     rng = np.random.default_rng(4)
