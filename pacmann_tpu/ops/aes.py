@@ -332,8 +332,13 @@ def prf_eval_fused(masks, tags, xs, chunk_mask):
     plane-wise, so the partition axis rides along exactly as in
     _prf_tables_fused; packing 32 consecutive lanes per u32 keeps each
     partition's lanes in its own contiguous word rows, so the (8,16,P*L/32)
-    state reshapes to (8,16,P,W) with no data movement."""
-    P, L = tags.shape
+    state reshapes to (8,16,P,W) with no data movement. L is padded to a
+    multiple of 32 internally (the bit-transpose packing granule)."""
+    P, L0 = tags.shape
+    L = -(-L0 // 32) * 32
+    if L != L0:
+        tags = jnp.pad(tags, ((0, 0), (0, L - L0)))
+        xs = jnp.pad(xs, ((0, 0), (0, L - L0)))
     lo = xs.reshape(-1)
     hi = (tags << jnp.uint32(3)).reshape(-1)
     zeros = jnp.zeros_like(lo)
@@ -348,7 +353,7 @@ def prf_eval_fused(masks, tags, xs, chunk_mask):
     St = St ^ S0                                     # MMO feed-forward
     blk = St[:, 0:4, :, :]                           # (8, 4, P, W)
     arr = jnp.transpose(blk, (2, 3, 1, 0)).reshape(-1, 32)
-    out = transpose32(arr).reshape(P, L)
+    out = transpose32(arr).reshape(P, L)[:, :L0]
     return out & jnp.uint32(chunk_mask)
 
 

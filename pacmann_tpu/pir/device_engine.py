@@ -124,7 +124,7 @@ def _prep_fused(db4, masks, repl_off, *, T: int, S: int, C: int, Hp: int,
 
 
 def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
-                *, C, R, Hp, S, k, max_q, dpp):
+                *, C, R, Hp, S, k, max_q, dpp, masks=None):
     """Client-side phases A+B-prep: slot selection and query-set build.
 
     Returns (sel, qs) where qs (Q, P, S) u32 is the per-round offset vector
@@ -132,7 +132,15 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
     (pir.go:443-448) — and sel carries the selection byproducts that
     _pir_finish needs. Split out so the engine can expose an auditable
     message boundary (query_measured) while the fused path composes
-    select + server scan + finish into one program."""
+    select + server scan + finish into one program.
+
+    masks: per-partition AES round-key planes (P, 11, 8, 16). When given,
+    the client is TABLE-FREE: the hit-set expansion and the Phase-C
+    refresh columns are evaluated by the bitsliced PRF online instead of
+    read from the resident (P, T, S) offset table — the reference's own
+    storage model (it recomputes the PRF per query, pir.go:404-427). Only
+    the small (P, S, Hp) slot_col cache remains client state; `table`
+    is ignored (pass None)."""
     tag, prog, ppar, slot_col, hist, finished = carry
     Q, P = idx_q.shape
 
@@ -197,8 +205,27 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
     # ---- Phase B-prep: the query sets (client->server message)
     p_ix = jnp.arange(P)[None, :]
     hit_tag = tag[p_ix, hit_q]                           # (Q, P)
-    qs = table[p_ix, hit_tag.astype(jnp.int32)].astype(
-        jnp.uint32)                                      # (Q, P, S) message
+    if masks is None:
+        qs = table[p_ix, hit_tag.astype(jnp.int32)].astype(
+            jnp.uint32)                                  # (Q, P, S) message
+        new_col = None
+    else:
+        # table-free: ONE per-partition-keyed bitsliced PRF program
+        # evaluates both (Q, P, S) sheets the protocol would have read
+        # from the table — the hit expansion (this message) and the
+        # Phase-C refresh columns (consumed backup btag = Hp+chunk*R+ig).
+        btag = (Hp + chunk_q * R + ig_q).astype(jnp.uint32)
+        tg2 = jnp.stack([hit_tag.astype(jnp.uint32), btag])   # (2, Q, P)
+        tg = jnp.broadcast_to(
+            jnp.transpose(tg2, (2, 0, 1))[..., None],
+            (P, 2, Q, S)).reshape(P, 2 * Q * S)
+        xsl = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.uint32)[None, None, None, :],
+            (P, 2, Q, S)).reshape(P, 2 * Q * S)
+        vals = aes.prf_eval_fused(masks, tg, xsl, C - 1)
+        vals = vals.reshape(P, 2, Q, S)
+        qs = jnp.transpose(vals[:, 0], (1, 0, 2))        # (Q, P, S)
+        new_col = jnp.transpose(vals[:, 1], (1, 0, 2))   # (Q, P, S)
     hp = prog[p_ix, hit_q]                               # (Q, P)
     hp_set = hp != dpp
     s_iota = jnp.arange(S, dtype=jnp.int32)[None, None, :]
@@ -210,7 +237,7 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
     # dummies keep the fixed access pattern (pir.go:363-371)
     qs = jnp.where(ok_q[..., None], qs, rnd_q)
 
-    sel = (hit_q, ok_q, ok_r, ig_q, chunk_q, idxu_q)
+    sel = (hit_q, ok_q, ok_r, ig_q, chunk_q, idxu_q, new_col)
     return sel, qs
 
 
@@ -219,7 +246,7 @@ def _pir_finish(repl_val, bpar, table, carry, sel, resp,
     """Client-side unmask + Phase C refresh given the server response
     resp (Q, P, k*128) u32 (pir.go:451-468)."""
     tag, prog, ppar, slot_col, hist, finished = carry
-    hit_q, ok_q, ok_r, ig_q, chunk_q, idxu_q = sel
+    hit_q, ok_q, ok_r, ig_q, chunk_q, idxu_q, free_col = sel
     Q, P = hit_q.shape
     Ep = k * 128
     p_ix = jnp.arange(P)[None, :]
@@ -248,8 +275,10 @@ def _pir_finish(repl_val, bpar, table, carry, sel, resp,
     ppar = jnp.where(upd[..., None], new_par[src, p_grid], ppar)
     tag = jnp.where(upd, btag[src, p_grid], tag)
     prog = jnp.where(upd, idxu_q[src, p_grid], prog)
-    # refresh the cached PRF columns of the consumed slots
-    new_col = table[p_ix, btag].astype(slot_col.dtype)   # (Q, P, S)
+    # refresh the cached PRF columns of the consumed slots (table-free
+    # mode pre-evaluated them in _pir_select's fused PRF call)
+    new_col = (free_col if free_col is not None
+               else table[p_ix, btag]).astype(slot_col.dtype)  # (Q, P, S)
     sc_new = jnp.swapaxes(new_col[src, p_grid], 1, 2)    # (P, S, Hp)
     slot_col = jnp.where(upd[:, None, :], sc_new, slot_col)
     # burn the group index of every admitted candidate (ok_r), including
@@ -266,7 +295,7 @@ def _pir_finish(repl_val, bpar, table, carry, sel, resp,
 
 
 def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
-               idx_q, rnd_q, *, C, R, Hp, S, k, max_q, dpp):
+               idx_q, rnd_q, *, C, R, Hp, S, k, max_q, dpp, masks=None):
     """Serve Q sub-queries per partition as a TWO-PHASE batched program.
 
     Per-round device work must not pay one deep op-chain per round (the
@@ -306,7 +335,8 @@ def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
     Ep = k * 128
     Q, P = idx_q.shape
     sel, qs = _pir_select(table, repl_idx, carry, idx_q, rnd_q,
-                          C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
+                          C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp,
+                          masks=masks)
     resp = xor_server_scan(db, qs, k).reshape(Q, P, Ep)
     return _pir_finish(repl_val, bpar, table, carry, sel, resp,
                        C=C, R=R, Hp=Hp, S=S, k=k, dpp=dpp)
@@ -320,9 +350,10 @@ def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
     carry = (state["tag"], state["prog"], state["primary_parity"],
              state["slot_col"], state["hist"], state["finished"])
     carry, entries, oks = _pir_batch(
-        db, state["table"], state["repl_idx"],
+        db, state.get("table"), state["repl_idx"],
         state["repl_val"], state["backup_parity"], carry, idx_q, rand_offs,
-        C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
+        C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp,
+        masks=state.get("masks"))
     tag, prog, ppar, slot_col, hist, finished = carry
     new_state = dict(state, tag=tag, prog=prog, primary_parity=ppar,
                      slot_col=slot_col, hist=hist, finished=finished)
@@ -345,9 +376,9 @@ _online_step = functools.partial(
 def _select_step(state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
     carry = (state["tag"], state["prog"], state["primary_parity"],
              state["slot_col"], state["hist"], state["finished"])
-    return _pir_select(state["table"], state["repl_idx"], carry, idx_q,
+    return _pir_select(state.get("table"), state["repl_idx"], carry, idx_q,
                        rand_offs, C=C, R=R, Hp=Hp, S=S, k=k,
-                       max_q=max_q, dpp=dpp)
+                       max_q=max_q, dpp=dpp, masks=state.get("masks"))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -367,7 +398,7 @@ def _finish_step(state, sel, resp, *, C, R, Hp, S, k, dpp):
     carry = (state["tag"], state["prog"], state["primary_parity"],
              state["slot_col"], state["hist"], state["finished"])
     carry, entries, oks = _pir_finish(
-        state["repl_val"], state["backup_parity"], state["table"],
+        state["repl_val"], state["backup_parity"], state.get("table"),
         carry, sel, resp, C=C, R=R, Hp=Hp, S=S, k=k, dpp=dpp)
     tag, prog, ppar, slot_col, hist, finished = carry
     new_state = dict(state, tag=tag, prog=prog, primary_parity=ppar,
@@ -380,12 +411,20 @@ class DevicePianoEngine:
 
     def __init__(self, db_size: int, entry_bytes: int, batch_size: int,
                  raw: np.ndarray, failure_prob_log2: int,
-                 verbose: bool = False, measure_comm: bool = False):
+                 verbose: bool = False, measure_comm: bool = False,
+                 table_free: bool = False):
         """measure_comm: run each batch through the split client->server->
         client pipeline instead of the fused program, materializing the
         observable messages (offset upload, entry download) on the host
         boundary and recording their byte counts in uploaded_bytes /
-        downloaded_bytes (auditable twin of pir.go:443-448)."""
+        downloaded_bytes (auditable twin of pir.go:443-448).
+
+        table_free: drop the resident (P, T, S) PRF offset table after
+        preprocessing and evaluate the needed offsets online with the
+        bitsliced AES circuit inside every batch — the reference's client
+        storage model (pir.go:404-427). Bit-identical answers; trades
+        ~1-2 ms/batch of MXU-free vector work for O(table) client memory
+        (the dominant extra-state line, ~4.4 GB at the SIFT100M tier)."""
         entry_u32 = entry_bytes // 4
         raw = raw.reshape(db_size, entry_u32)
         self.config = derive_batch_params(
@@ -404,6 +443,7 @@ class DevicePianoEngine:
         # multi-chip engine shards the partition axis (parallel/sharding.py).
         self.db = self._pack_db(raw)
         self.state = None
+        self.table_free = table_free
         self.cache: dict[int, np.ndarray] = {}
         self._rng = np.random.default_rng()
 
@@ -525,6 +565,12 @@ class DevicePianoEngine:
             repl_idx=jnp.asarray(repl_idx),
             repl_val=repl_val,
         )
+        if self.table_free:
+            # the reference's client storage model: no resident offset
+            # table — the online path re-derives offsets from the AES keys
+            del self.state["table"]
+            self.state["masks"] = jnp.asarray(
+                np.stack([aes.expand_key_planes(kb) for kb in keys16]))
         # block_until_ready can return early on tunneled platforms; a D2H
         # read of a value that depends on every prep pass forces a real sync.
         if chk is not None:
@@ -533,7 +579,7 @@ class DevicePianoEngine:
             _ = np.asarray(self.state["primary_parity"][-1, -1]
                            ^ self.state["backup_parity"][-1, -1]
                            ^ self.state["repl_val"][-1, -1, -1])
-            _ = np.asarray(self.state["table"][-1, -1, -1])
+            _ = np.asarray(self.state["slot_col"][-1, -1, -1])
         self._record_stats(time.perf_counter() - t0)
 
     def dummy_preprocessing(self, rng=None):
@@ -560,6 +606,11 @@ class DevicePianoEngine:
             repl_idx=jnp.zeros((P, S, R), jnp.uint32),
             repl_val=jnp.zeros((P, S, R, self.Ep), jnp.uint32),
         )
+        if self.table_free:
+            del self.state["table"]
+            self.state["masks"] = jnp.asarray(np.stack(
+                [aes.expand_key_planes(self._rng.bytes(16))
+                 for _ in range(P)]))
         self.cache = {}
         self._record_stats(0.0)
 
@@ -671,11 +722,14 @@ class DevicePianoEngine:
         cache (P, S, Hp) — kept to skip online AES (the reference
         recomputes the PRF per query instead, pir.go:404-427). Offsets are
         stored u16 whenever the chunk fits (always at current scales),
-        which halves this line vs round 2."""
+        which halves this line vs round 2. In table_free mode the offset
+        table is dropped entirely (reference storage model); only the
+        slot-column cache remains."""
         p = self.params
         nbytes = 2 if p.chunk_size <= (1 << 16) else 4
-        per_part = (p.total_tags * p.set_size
-                    + p.set_size * p.primary_hint_num) * nbytes
+        per_part = p.set_size * p.primary_hint_num * nbytes
+        if not self.table_free:
+            per_part += p.total_tags * p.set_size * nbytes
         return float(per_part * self.config.partition_num)
 
     def comm_cost_per_batch_online(self) -> int:

@@ -167,10 +167,11 @@ def _fused_segment(db, pir_state, beam, queries, steps, keys,
         rnd = jax.random.bits(rk2, (quota, P, S), jnp.uint32) % np.uint32(C)
 
         pir_carry, entries, oks = _pir_batch(
-            db, pir_state["table"],
+            db, pir_state.get("table"),
             pir_state["repl_idx"], pir_state["repl_val"], bpar,
             pir_carry, idx_q, rnd,
-            C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp)
+            C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp,
+            masks=pir_state.get("masks"))
         entries_flat = jnp.concatenate(
             [entries.reshape(quota * P, Ep),
              jnp.zeros((1, Ep), jnp.uint32)])

@@ -132,36 +132,41 @@ def main():
     def pad32(x):
         return -(-x // 32) * 32
 
-    L_elig = pad32(Q * Hp)
-    L_exp = pad32(2 * Q * S)
-    print(f"prf lanes/step: elig {P}x{L_elig} + expand {P}x{L_exp} "
-          f"= {P*(L_elig+L_exp)/1e6:.2f} M evals", flush=True)
+    L_exp = pad32(2 * Q * S)       # qs expansion + refresh columns
+    L_elig = pad32(Q * Hp)         # eligibility cols IF slot_col dropped too
+    print(f"prf lanes/step: expand {P}x{L_exp} "
+          f"({P*L_exp/1e6:.2f} M evals); +elig {P}x{L_elig} "
+          f"({P*L_elig/1e6:.2f} M evals)", flush=True)
 
-    @jax.jit
-    def prf_step_cost(masks, seed):
-        def body(acc, i):
-            tg1 = (jax.lax.broadcasted_iota(jnp.uint32, (P, L_elig), 1)
-                   + seed + i) % np.uint32(Hp + 2)
-            xs1 = (jax.lax.broadcasted_iota(jnp.uint32, (P, L_elig), 1)
-                   * 7 + i) % np.uint32(S)
-            o1 = aes_ops.prf_eval_fused(masks, tg1, xs1, C - 1)
-            tg2 = (jax.lax.broadcasted_iota(jnp.uint32, (P, L_exp), 1)
-                   + seed * 3 + i) % np.uint32(Hp + 2)
-            xs2 = (jax.lax.broadcasted_iota(jnp.uint32, (P, L_exp), 1)
-                   * 11 + i) % np.uint32(S)
-            o2 = aes_ops.prf_eval_fused(masks, tg2, xs2, C - 1)
-            return acc ^ o1[0, 0] ^ o2[0, 0], None
+    def time_prf(L, tag):
+        @jax.jit
+        def run(masks, seed):
+            def body(acc, i):
+                tg = (jax.lax.broadcasted_iota(jnp.uint32, (P, L), 1)
+                      + seed + i) % np.uint32(Hp + 2)
+                xs = (jax.lax.broadcasted_iota(jnp.uint32, (P, L), 1)
+                      * 7 + i) % np.uint32(S)
+                o = aes_ops.prf_eval_fused(masks, tg, xs, C - 1)
+                return acc ^ o[0, 0], None
 
-        acc, _ = jax.lax.scan(body, jnp.uint32(seed),
-                              jnp.arange(NSTEP, dtype=jnp.uint32))
-        return acc
+            acc, _ = jax.lax.scan(body, jnp.uint32(seed),
+                                  jnp.arange(NSTEP, dtype=jnp.uint32))
+            return acc
 
-    np.asarray(prf_step_cost(masks, jnp.uint32(1)))     # compile
-    t0 = time.perf_counter()
-    np.asarray(prf_step_cost(masks, jnp.uint32(2)))
-    t4 = (time.perf_counter() - t0) / NSTEP
-    print(f"S4 table-free PRF add-on: {t4*1000:.2f} ms/step "
-          f"(table-free step ~= {(t3+t4)*1000:.2f} ms)", flush=True)
+        np.asarray(run(masks, jnp.uint32(1)))     # compile
+        t0 = time.perf_counter()
+        np.asarray(run(masks, jnp.uint32(2)))
+        dt = (time.perf_counter() - t0) / NSTEP
+        print(f"{tag}: {dt*1000:.2f} ms/step", flush=True)
+        return dt
+
+    # S4a: the table-free design that KEEPS the small (P,S,Hp) slot_col
+    # cache — only the hit expansion + refresh columns go online
+    t4a = time_prf(L_exp, "S4a table-free (slot_col cached) PRF add-on")
+    # S4b: fully stateless offsets (eligibility columns online too)
+    t4b = time_prf(L_elig, "S4b no-cache eligibility add-on")
+    print(f"table-free step ~= {(t3+t4a)*1000:.2f} ms; "
+          f"stateless step ~= {(t3+t4a+t4b)*1000:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

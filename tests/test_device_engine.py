@@ -249,3 +249,31 @@ def test_fused_prep_matches_split_path():
     assert np.array_equal(np.asarray(repl_val),
                           np.asarray(pir.state["repl_val"]))
     int(np.asarray(chk))  # checksum is a real scalar
+
+
+def test_table_free_bit_identical():
+    """table_free=True (online bitsliced PRF, reference storage model
+    pir.go:404-427) must answer bit-identically to the table engine and
+    carry identical protocol state, given the same preprocessing RNG."""
+    rng = np.random.default_rng(77)
+    n, eb = 8192, 32
+    raw = rng.integers(0, 2**32, size=(n, eb // 4), dtype=np.uint32)
+    a = DevicePianoEngine(n, eb, 32, raw, 20)
+    b = DevicePianoEngine(n, eb, 32, raw, 20, table_free=True)
+    a.preprocessing(rng=np.random.default_rng(7))
+    b.preprocessing(rng=np.random.default_rng(7))
+    assert "table" not in b.state and "masks" in b.state
+    assert b.extra_storage_size() < a.extra_storage_size()
+    qrng = np.random.default_rng(8)
+    for _ in range(3):
+        ids = [int(i) for i in qrng.integers(0, n, 32)]
+        # identical dummy-offset draws: same engine RNG stream
+        a._rng = np.random.default_rng(9)
+        b._rng = np.random.default_rng(9)
+        oa = a.query(list(ids))
+        ob = b.query(list(ids))
+        assert np.array_equal(oa, ob)
+    for key in ("tag", "prog", "slot_col", "hist", "finished",
+                "primary_parity"):
+        assert np.array_equal(
+            np.asarray(a.state[key]), np.asarray(b.state[key])), key

@@ -121,3 +121,25 @@ def test_fused_search_cross_step_dedup_spares_budget():
     # queries); steps 2-3 see only known ids -> all-dummy PIR rounds
     assert used <= m + 2, (used, worst)
     assert used < worst
+
+
+def test_fused_table_free_identical_answers():
+    """The fused program with a table-free engine (masks in pir state,
+    online bitsliced PRF) returns the SAME answer ids as with the resident
+    offset table, given identical preprocessing RNG and seeds."""
+    rng = np.random.default_rng(21)
+    n, d, m = 2048, 16, 8
+    vectors = rng.random((n, d), dtype=np.float32)
+    graph = np.asarray(build_graph(vectors, m, rounds=2, seed=21), np.int64)
+    raw = pack_vertex_db(vectors, graph)
+    queries = rng.random((2, d), dtype=np.float32)
+    sids = rng.choice(n, 32, replace=False)
+    outs = []
+    for tf in (False, True):
+        engine = DevicePianoEngine(n, 4 * (d + m), m, raw, 8, table_free=tf)
+        engine.preprocessing(rng=np.random.default_rng(5))
+        fs = FusedPrivateSearch(engine, sids, vectors[sids], graph[sids],
+                                dim=d, m=m, n=n)
+        outs.append(fs.search(queries, k=10, max_step=8, parallel=2,
+                              seed=6))
+    assert np.array_equal(outs[0], outs[1])
