@@ -26,6 +26,7 @@ Output: (n, m) int32 adjacency, every row exactly m distinct non-self edges.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -402,6 +403,11 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     BuildGraph (build_graph.go:102,764-805). Defaults to `verbose` (every
     script build runs it; silent unit-test builds skip the extra searches).
     """
+    t_start = time.perf_counter()
+
+    def _el():
+        return f"[{time.perf_counter() - t_start:.1f}s]"
+
     rng = np.random.default_rng(seed)
     vectors = np.asarray(vectors, np.float32)
     n, d = vectors.shape
@@ -421,7 +427,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         vectors_dev, kb, K=K, m=m, iters=2, block=blk, n_real=n)
     if verbose:
         graph_dev.block_until_ready()
-        print(f"kmeans bootstrap done (K={K})", flush=True)
+        print(f"kmeans bootstrap done (K={K}) {_el()}", flush=True)
     for r in range(rounds):
         key, sub = jax.random.split(key)
         graph_dev, rdist = _nn_round_device(
@@ -431,8 +437,8 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
             # convergence probe: mean top-m distance over the real vertices
             md = float(jnp.mean(jnp.where(jnp.isfinite(rdist[:n]),
                                           rdist[:n], 0.0)))
-            print(f"nn-descent round {r} done (mean top-{m} dist {md:.4f})",
-                  flush=True)
+            print(f"nn-descent round {r} done (mean top-{m} dist {md:.4f})"
+                  f" {_el()}", flush=True)
 
     # phase 2: candidate pool = widened final round + robust prune, on device.
     # The wide pool keeps the cand_size NEAREST candidates — on converged
@@ -474,7 +480,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     nav = jnp.where(nav < 0, nav_fill, nav)
     if verbose:
         nav.block_until_ready()
-        print("nav graph done", flush=True)
+        print(f"nav graph done {_el()}", flush=True)
 
     # 2b. search-based candidates (the NGT/Vamana mechanism, SURVEY §7
     # step 4): beam-search every vertex's own vector over the nav graph and
@@ -492,7 +498,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         jnp.zeros((), wide_d.dtype), jnp.inf)
     if verbose:
         paths.block_until_ready()
-        print("path candidates done", flush=True)
+        print(f"path candidates done {_el()}", flush=True)
 
     # 2c. final pool = locals ‖ corridors ‖ ladder ‖ far -> alpha-prune
     pool_ids = jnp.concatenate([wide_ids, paths, ladder, far], axis=1)
@@ -500,7 +506,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     pruned_dev = _prune_device(vectors_dev, pool_ids, pool_d, m=m, block=blk)
     if verbose:
         pruned_dev.block_until_ready()
-        print("widen+prune done", flush=True)
+        print(f"widen+prune done {_el()}", flush=True)
 
     # phase 3: reference degree regularization (build_graph.go:414-484),
     # edge pipeline + over-degree prune on device, random fill on host
@@ -510,8 +516,12 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     out_dev = _prune_or_keep_device(vectors_dev, conn, counts, m=m,
                                     block=blk)
     out = np.asarray(out_dev[:n]).astype(np.int64)
+    if verbose:
+        print(f"degree regularization done {_el()}", flush=True)
     graph = _random_fill(out, m, rng, verbose)
     graph = graph.astype(np.int32)
+    if verbose:
+        print(f"random fill done {_el()}", flush=True)
     if quality_gate is None:
         quality_gate = verbose
     if quality_gate:

@@ -182,7 +182,9 @@ def main():
     sids = rng.choice(n, int(np.sqrt(n)), replace=False)
     fs = FusedPrivateSearch(engine, sids, vectors[sids], graph[sids],
                             dim=d, m=m, n=n)
-    B = 4
+    # group-16 fused calls; the segmented path refreshes hints mid-group
+    # whenever the budget window is short, so any group size works
+    B = 16
     t0 = time.time()
     fs.search(queries[:B], k=args.k, max_step=args.step,
               parallel=args.parallel, seed=2)
