@@ -50,14 +50,16 @@ class ShardedPianoEngine(DevicePianoEngine):
 
     def __init__(self, db_size: int, entry_bytes: int, batch_size: int,
                  raw: np.ndarray, failure_prob_log2: int, mesh,
-                 verbose: bool = False):
+                 verbose: bool = False, table_free: bool = False):
         self.mesh = mesh
         self._sharded_step = None
         self._sharded_prep = None
         super().__init__(db_size, entry_bytes, batch_size, raw,
-                         failure_prob_log2, verbose=verbose)
+                         failure_prob_log2, verbose=verbose,
+                         table_free=table_free)
         self._state_sharding = {
             "table": P_(AXIS, None, None),
+            "masks": P_(AXIS, None, None, None),
             "slot_col": P_(AXIS, None, None),
             "tag": P_(AXIS, None),
             "prog": P_(AXIS, None),
@@ -154,14 +156,17 @@ class ShardedPianoEngine(DevicePianoEngine):
         state_specs = self._state_sharding
 
         core = functools.partial(_online_core, **consts)
+        # spec pytrees must mirror the ACTUAL state dict (table-free mode
+        # carries "masks" instead of "table")
+        live = {k: state_specs[k] for k in self.state}
         smapped = jax.shard_map(
             core,
             mesh=mesh,
             in_specs=(P_(None, AXIS, None, None),       # db
-                      {k: state_specs[k] for k in state_specs},
+                      live,
                       P_(None, AXIS),                   # idx_q
                       P_(None, AXIS, None)),            # rand_offs
-            out_specs=({k: state_specs[k] for k in state_specs},
+            out_specs=(live,
                        P_(None, AXIS, None),            # entries
                        P_(None, AXIS)),                 # oks
             check_vma=False,

@@ -58,6 +58,37 @@ def test_shard_native_prep_memory_locality():
         assert np.array_equal(out[r], raw[idx]), f"row {r}"
 
 
+def test_sharded_table_free_matches_single_chip():
+    """Table-free mode (state carries 'masks', no 'table') under shard_map:
+    the spec pytree must mirror the live state dict, and answers must stay
+    bit-identical to the single-chip table-free engine."""
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(73)
+    n, eb, batch = 4096, 32, 32
+    raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    single = DevicePianoEngine(n, eb, batch, raw, 20, table_free=True)
+    sharded = ShardedPianoEngine(n, eb, batch, raw, 20, mesh,
+                                 table_free=True)
+    single.preprocessing(rng=np.random.default_rng(6))
+    sharded.preprocessing(rng=np.random.default_rng(6))
+    assert "table" not in sharded.state and "masks" in sharded.state
+    # the masks leaf is partition-sharded like every other state leaf
+    shards = sharded.state["masks"].addressable_shards
+    assert len(shards) == 8
+    P = sharded.config.partition_num
+    for s in shards:
+        assert s.data.shape[0] == P // 8, s.data.shape
+    ids = [int(i * single.config.partition_size + 3)
+           for i in range(single.config.partition_num)] * 2
+    single._rng = np.random.default_rng(9)
+    sharded._rng = np.random.default_rng(9)
+    a = single.query(ids)
+    b = sharded.query(ids)
+    assert np.array_equal(a, b)
+    for r, idx in enumerate(ids):
+        assert np.array_equal(a[r], raw[idx]), f"row {r}"
+
+
 def test_sharded_matches_single_chip():
     """Same seeds -> identical state evolution and identical answers."""
     mesh = make_mesh(8)
