@@ -490,8 +490,8 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
             functools.partial(search_paths_all, **paths_kw),
             vec_s, graph_s, sds((n_starts,), i32), key_s)
         dd = wide_s[1].dtype
-        C1 = wide_s[0].shape[1] + lad_s.shape[1] + n_far
-        C2 = C1 + paths_s.shape[1]
+        C2 = (wide_s[0].shape[1] + lad_s.shape[1] + n_far
+              + paths_s.shape[1])
         pool = _cf.ThreadPoolExecutor(max_workers=6)
 
         def _sub(name, fn, args, statics):
@@ -506,12 +506,9 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         _sub("ladder", _ladder_candidates,
              (km_s[1], km_s[2], km_s[3], km_s[4], km_s[5], key_s),
              dict(L=Lad))
-        _sub("nav_prune", _prune_device,
-             (vec_s, sds((npad, C1), i32), sds((npad, C1), dd)),
-             dict(m=m, block=blk, keep=0))
         _sub("paths", search_paths_all,
              (vec_s, graph_s, sds((n_starts,), i32), key_s), paths_kw)
-        _sub("final_prune", _prune_device,
+        _sub("prune", _prune_device,
              (vec_s, sds((npad, C2), i32), sds((npad, C2), dd)),
              dict(m=m, block=blk, keep=keep_nearest))
         _sub("conn", _conn_lists_device, (graph_s, key_s),
@@ -593,12 +590,19 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                          jnp.zeros((), wide_d.dtype), jnp.inf)
 
     # 2a. temporary NAVIGABLE graph: alpha-prune of locals + far randoms +
-    # the ladder (the alpha rule keeps far edges when local slots run dry)
+    # the ladder (the alpha rule keeps far edges when local slots run dry).
+    # The pool is padded with invalid (inf-distance) columns to the FINAL
+    # pool's width so one compiled prune program serves both calls — a
+    # ~90 s remote-compile saving per process, output unchanged (inf
+    # candidates sort last and are never accepted).
+    paths_w = 16 * 2  # search_paths_all max_step * parallel below
+    pad_i = jnp.zeros((npad, paths_w), jnp.int32)
+    pad_d = jnp.full((npad, paths_w), jnp.inf, wide_d.dtype)
     nav = _run(
-        "nav_prune", _prune_device,
-        vectors_dev, jnp.concatenate([wide_ids, ladder, far], axis=1),
-        jnp.concatenate([wide_d, ladder_d, far_d], axis=1),
-        m=m, block=blk, keep=0)
+        "prune", _prune_device,
+        vectors_dev, jnp.concatenate([wide_ids, pad_i, ladder, far], axis=1),
+        jnp.concatenate([wide_d, pad_d, ladder_d, far_d], axis=1),
+        m=m, block=blk, keep=keep_nearest)
     nav_fill = jax.random.randint(sub3, nav.shape, 0, n, jnp.int32)
     nav_fill = jnp.where(nav_fill == jnp.arange(npad)[:, None],
                          (nav_fill + 1) % n, nav_fill)
@@ -626,7 +630,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     # 2c. final pool = locals ‖ corridors ‖ ladder ‖ far -> alpha-prune
     pool_ids = jnp.concatenate([wide_ids, paths, ladder, far], axis=1)
     pool_d = jnp.concatenate([wide_d, path_d, ladder_d, far_d], axis=1)
-    pruned_dev = _run("final_prune", _prune_device,
+    pruned_dev = _run("prune", _prune_device,
                       vectors_dev, pool_ids, pool_d,
                       m=m, block=blk, keep=keep_nearest)
     if verbose:
@@ -659,6 +663,83 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         print(f"graph quality gate: self-query hit rate {hit_rate:.3f}, "
               f"avg steps {avg_steps:.1f}", flush=True)
     return graph
+
+
+@functools.partial(jax.jit, static_argnames=("K", "iters", "block",
+                                             "n_real"))
+def _centroid_starts_device(vectors, key, *, K: int, iters: int, block: int,
+                            n_real: int):
+    npad, d = vectors.shape
+    nblocks = npad // block
+    cent = vectors[jax.random.randint(key, (K,), 0, n_real, jnp.int32)]
+
+    def assign_update(cent):
+        def body(carry, b):
+            q = jax.lax.dynamic_slice(vectors, (b * block, 0), (block, d))
+            dots = q @ cent.T
+            cn = jnp.sum(cent * cent, axis=1)
+            lab = jnp.argmin(cn[None, :] - 2.0 * dots, axis=1)
+            return carry, lab.astype(jnp.int32)
+
+        _, labs = jax.lax.scan(body, None,
+                               jnp.arange(nblocks, dtype=jnp.int32))
+        labels = labs.reshape(npad)
+        w = (jnp.arange(npad) < n_real).astype(jnp.float32)
+        sums = jnp.zeros((K, d), jnp.float32).at[labels].add(
+            vectors * w[:, None])
+        cnts = jnp.zeros((K,), jnp.float32).at[labels].add(w)
+        return jnp.where(cnts[:, None] > 0,
+                         sums / jnp.maximum(cnts, 1.0)[:, None], cent)
+
+    for _ in range(iters):
+        cent = assign_update(cent)
+
+    # nearest REAL vertex per centroid: blocked running argmin
+    def near_body(carry, b):
+        best_d, best_i = carry
+        q = jax.lax.dynamic_slice(vectors, (b * block, 0), (block, d))
+        ids = b * block + jnp.arange(block, dtype=jnp.int32)
+        qn = jnp.sum(q * q, axis=1)
+        # cent-norm term omitted: constant per column, argmin-invariant
+        dist = qn[:, None] - 2.0 * (q @ cent.T)          # (block, K)
+        dist = jnp.where((ids < n_real)[:, None], dist, jnp.inf)
+        bi = jnp.argmin(dist, axis=0)                    # (K,)
+        bd = jnp.take_along_axis(dist, bi[None, :], axis=0)[0]
+        take = bd < best_d
+        return (jnp.where(take, bd, best_d),
+                jnp.where(take, ids[bi], best_i)), None
+
+    (bd, bi), _ = jax.lax.scan(
+        near_body,
+        (jnp.full((K,), jnp.inf), jnp.zeros((K,), jnp.int32)),
+        jnp.arange(nblocks, dtype=jnp.int32))
+    return bi
+
+
+def choose_start_ids(vectors: np.ndarray, n_starts: int, *,
+                     iters: int = 3, seed: int = 0,
+                     block: int = 4096) -> np.ndarray:
+    """Coverage-optimized beam-search start vertices: k-means centroids'
+    nearest real vertices, computed on device (a few MXU Lloyd passes).
+
+    The reference starts every search from the first sqrt(n) vertex ids
+    (search.go:51-65) — effectively random coverage, so a query's nearest
+    start can be far away and the beam burns steps descending before it
+    can harvest neighbors. Centroid starts cut the descent depth (the
+    start set is part of the index, not the query protocol: same count,
+    same per-query cost, no privacy change — start vectors are client-held
+    in the private path either way)."""
+    vectors = np.asarray(vectors, np.float32)
+    n = vectors.shape[0]
+    n_starts = min(n_starts, n)
+    blk = min(block, n)
+    npad = -(-n // blk) * blk
+    vpad = vectors if npad == n else np.concatenate(
+        [vectors, np.tile(vectors[:1], (npad - n, 1))])
+    out = _centroid_starts_device(
+        jnp.asarray(vpad), jax.random.PRNGKey(seed),
+        K=n_starts, iters=iters, block=blk, n_real=n)
+    return np.asarray(out)
 
 
 def _random_fill(out: "np.ndarray", m: int, rng,
