@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-profile", default="", help="JAX profiler trace dir")
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-verbose", action="store_true")
+    p.add_argument("-starts", default="random", choices=["random", "centroid"],
+                   help="start-vertex selection: reference-style random "
+                        "sqrt(n), or k-means-centroid coverage")
     return p
 
 
@@ -59,6 +62,7 @@ def main(argv=None) -> int:
         non_private=args.nonprivate, failure_prob_log2=args.fail,
         device=args.device, engine=args.engine, concurrent=args.concurrent,
         profile_dir=args.profile, seed=args.seed, verbose=args.verbose,
+        start_mode=args.starts,
     )
     res = run_private_search(cfg)
     print(res.report.render())

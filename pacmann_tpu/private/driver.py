@@ -68,6 +68,7 @@ class PrivateSearchConfig:
     profile_dir: str = ""       # write a JAX profiler trace of the query loop
     seed: int = 0
     verbose: bool = False
+    start_mode: str = "random"  # "random" (reference parity) | "centroid"
 
 
 @dataclasses.dataclass
@@ -147,6 +148,7 @@ def run_private_search(cfg: PrivateSearchConfig,
         engine="device" if fused_mode else cfg.engine,
         rng=rng,
         failure_prob_log2=cfg.failure_prob_log2,
+        start_mode=cfg.start_mode,
     )
     frontend = BeamSearcher(oracle, rng)
 

@@ -46,7 +46,8 @@ class PIRGraphOracle(VertexOracle):
                  skip_prep: bool = False, non_private: bool = False,
                  device: bool = False, engine: str = "fused",
                  rng: np.random.Generator | None = None,
-                 failure_prob_log2: int = FAILURE_PROB_LOG2):
+                 failure_prob_log2: int = FAILURE_PROB_LOG2,
+                 start_mode: str = "random"):
         self.vectors = np.asarray(vectors, np.float32)
         self.graph = np.asarray(graph, np.int64)
         self.n, self.dim = self.vectors.shape
@@ -56,6 +57,7 @@ class PIRGraphOracle(VertexOracle):
         self.device = device
         self.engine = engine
         self.failure_prob_log2 = failure_prob_log2
+        self.start_mode = start_mode
         self.rng = rng or np.random.default_rng()
         self.pir = None  # SimpleBatchPianoPIR | FusedBatchPianoPIR
         # success accounting (private-search.go:348-350, 486-499)
@@ -109,9 +111,18 @@ class PIRGraphOracle(VertexOracle):
         return vecs, nbrs
 
     def get_start_vertices(self):
-        """sqrt(n) *random distinct* seeds (private-search.go:505-528)."""
+        """sqrt(n) seeds. start_mode='random': *random distinct* seeds, the
+        reference's policy (private-search.go:505-528). 'centroid':
+        k-means-centroid nearest vertices (graph.build.choose_start_ids) —
+        better coverage cuts the beam's descent depth at large n; the start
+        set is index state either way (same count, same query cost)."""
         target = int(np.sqrt(self.n))
-        ids = self.rng.choice(self.n, size=target, replace=False)
+        if self.start_mode == "centroid":
+            from pacmann_tpu.graph.build import choose_start_ids
+
+            ids = choose_start_ids(self.vectors, target)
+        else:
+            ids = self.rng.choice(self.n, size=target, replace=False)
         return ids, self.vectors[ids], self.graph[ids]
 
     # -- stats ---------------------------------------------------------------

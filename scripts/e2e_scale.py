@@ -88,7 +88,10 @@ def synth_vectors(n: int, d: int, clustered: bool, rng,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--random-starts", action="store_true",
+                    help="reference-style random sqrt(n) starts instead of "
+                         "the centroid start selection")
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--uniform", action="store_true")
     ap.add_argument("--continuum", action="store_true",
@@ -158,8 +161,15 @@ def main():
     print(f"ground truth: {time.time()-t0:.1f}s", flush=True)
 
     from pacmann_tpu.graph.beam import PlaintextEngine
+    from pacmann_tpu.graph.build import choose_start_ids
 
-    eng = PlaintextEngine(vectors, graph)
+    if args.random_starts:
+        sids = rng.choice(n, int(np.sqrt(n)), replace=False)
+    else:
+        t0 = time.time()
+        sids = choose_start_ids(vectors, int(np.sqrt(n)), seed=0)
+        print(f"centroid starts: {time.time()-t0:.1f}s", flush=True)
+    eng = PlaintextEngine(vectors, graph, start_ids=sids)
     t0 = time.time()
     ids, _ = eng.search(queries, args.k, args.step, args.parallel, seed=1)
     r_plain = compute_recall(gnd, ids, args.k)
@@ -179,7 +189,6 @@ def main():
     report["prep_s"] = round(prep_s, 2)
     print(f"prep: {prep_s:.1f}s (incl. compile)", flush=True)
 
-    sids = rng.choice(n, int(np.sqrt(n)), replace=False)
     fs = FusedPrivateSearch(engine, sids, vectors[sids], graph[sids],
                             dim=d, m=m, n=n)
     # group-16 fused calls; the segmented path refreshes hints mid-group
