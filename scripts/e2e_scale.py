@@ -48,7 +48,7 @@ def synth_continuum(n: int, d: int, rng, latent: int = 16) -> np.ndarray:
 
 
 def synth_vectors(n: int, d: int, clustered: bool, rng,
-                  latent: int = 16) -> np.ndarray:
+                  latent: int = 16, spread: float = 0.35) -> np.ndarray:
     """SIFT-like synthetic data (or uniform with --uniform).
 
     Clustered mode: a mixture of Gaussians whose CENTERS live in a
@@ -80,7 +80,7 @@ def synth_vectors(n: int, d: int, clustered: bool, rng,
         b = min(block, n - b0)
         lab = rng.integers(0, n_c, b)
         out[b0:b0 + b] = (centers[lab]
-                          + 0.35 * rng.standard_normal((b, d)).astype(
+                          + spread * rng.standard_normal((b, d)).astype(
                               np.float32))
     return out
 
