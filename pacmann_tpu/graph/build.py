@@ -436,7 +436,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                 seed: int = 0, block: int = 2048,
                 verbose: bool = False,
                 quality_gate: bool | None = None,
-                keep_nearest: int = 12,
+                keep_nearest: int = 16,
                 precompile: bool | None = None) -> np.ndarray:
     """vectors (n, d) float32 -> graph (n, m) int32.
 
