@@ -692,34 +692,35 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     return graph
 
 
-@functools.partial(jax.jit, static_argnames=("K", "iters", "block",
-                                             "n_real"))
-def _centroid_starts_device(vectors, key, *, K: int, iters: int, block: int,
-                            n_real: int):
+@functools.partial(jax.jit, static_argnames=("K", "block", "n_real"))
+def _lloyd_iter(vectors, cent, *, K: int, block: int, n_real: int):
+    """One Lloyd iteration (assign + matmul update) as its own small
+    program — unrolling iters into one jit tripled the remote compile."""
     npad, d = vectors.shape
     nblocks = npad // block
-    cent = vectors[jax.random.randint(key, (K,), 0, n_real, jnp.int32)]
 
-    def assign_update(cent):
-        def body(carry, b):
-            q = jax.lax.dynamic_slice(vectors, (b * block, 0), (block, d))
-            dots = q @ cent.T
-            cn = jnp.sum(cent * cent, axis=1)
-            lab = jnp.argmin(cn[None, :] - 2.0 * dots, axis=1)
-            return carry, lab.astype(jnp.int32)
+    def body(carry, b):
+        q = jax.lax.dynamic_slice(vectors, (b * block, 0), (block, d))
+        dots = q @ cent.T
+        cn = jnp.sum(cent * cent, axis=1)
+        lab = jnp.argmin(cn[None, :] - 2.0 * dots, axis=1)
+        return carry, lab.astype(jnp.int32)
 
-        _, labs = jax.lax.scan(body, None,
-                               jnp.arange(nblocks, dtype=jnp.int32))
-        labels = labs.reshape(npad)
-        sums, cnts = _lloyd_sums(vectors, labels, K=K, block=block,
-                                 n_real=n_real)
-        return jnp.where(cnts[:, None] > 0,
-                         sums / jnp.maximum(cnts, 1.0)[:, None], cent)
+    _, labs = jax.lax.scan(body, None, jnp.arange(nblocks, dtype=jnp.int32))
+    labels = labs.reshape(npad)
+    sums, cnts = _lloyd_sums(vectors, labels, K=K, block=block,
+                             n_real=n_real)
+    return jnp.where(cnts[:, None] > 0,
+                     sums / jnp.maximum(cnts, 1.0)[:, None], cent)
 
-    for _ in range(iters):
-        cent = assign_update(cent)
 
-    # nearest REAL vertex per centroid: blocked running argmin
+@functools.partial(jax.jit, static_argnames=("block", "n_real"))
+def _nearest_vertex_device(vectors, cent, *, block: int, n_real: int):
+    """Nearest REAL vertex id per centroid: blocked running argmin."""
+    npad, d = vectors.shape
+    nblocks = npad // block
+    K = cent.shape[0]
+
     def near_body(carry, b):
         best_d, best_i = carry
         q = jax.lax.dynamic_slice(vectors, (b * block, 0), (block, d))
@@ -734,7 +735,7 @@ def _centroid_starts_device(vectors, key, *, K: int, iters: int, block: int,
         return (jnp.where(take, bd, best_d),
                 jnp.where(take, ids[bi], best_i)), None
 
-    (bd, bi), _ = jax.lax.scan(
+    (_, bi), _ = jax.lax.scan(
         near_body,
         (jnp.full((K,), jnp.inf), jnp.zeros((K,), jnp.int32)),
         jnp.arange(nblocks, dtype=jnp.int32))
@@ -761,10 +762,13 @@ def choose_start_ids(vectors: np.ndarray, n_starts: int, *,
     npad = -(-n // blk) * blk
     vpad = vectors if npad == n else np.concatenate(
         [vectors, np.tile(vectors[:1], (npad - n, 1))])
-    out = _centroid_starts_device(
-        jnp.asarray(vpad), jax.random.PRNGKey(seed),
-        K=n_starts, iters=iters, block=blk, n_real=n)
-    return np.asarray(out)
+    v_dev = jnp.asarray(vpad)
+    key = jax.random.PRNGKey(seed)
+    cent = v_dev[jax.random.randint(key, (n_starts,), 0, n, jnp.int32)]
+    for _ in range(iters):
+        cent = _lloyd_iter(v_dev, cent, K=n_starts, block=blk, n_real=n)
+    return np.asarray(
+        _nearest_vertex_device(v_dev, cent, block=blk, n_real=n))
 
 
 @functools.partial(jax.jit, static_argnames=("m", "block", "n_real"))
