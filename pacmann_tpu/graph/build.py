@@ -325,6 +325,21 @@ def _prune_or_keep_device(vectors, conn, counts, *, m: int, block: int,
     return out.reshape(npad, m)
 
 
+@functools.partial(jax.jit, static_argnames=("n_real", "m", "cap", "block",
+                                             "keep"))
+def _degree_reg_device(vectors, pruned, key, *, n_real: int, m: int,
+                       cap: int, block: int, keep: int):
+    """Degree regularization + random fill as ONE program: the three
+    phases run back-to-back with no host decision between them, and every
+    separate program costs a serialized remote compile on the tunnel."""
+    kr, kf = jax.random.split(key)
+    conn, counts = _conn_lists_device(pruned, kr, n_real=n_real, m=m,
+                                      cap=cap)
+    out = _prune_or_keep_device(vectors, conn, counts, m=m, block=block,
+                                keep=keep)
+    return _random_fill_device(out, kf, m=m, block=block, n_real=n_real)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "block", "keep"))
 def _prune_device(vectors, wide_ids, wide_d, *, m: int, block: int,
                   keep: int = 0):
@@ -532,13 +547,8 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         _sub("prune", _prune_device,
              (vec_s, sds((npad, C2), i32), sds((npad, C2), dd)),
              dict(m=m, block=blk, keep=keep_nearest))
-        _sub("conn", _conn_lists_device, (graph_s, key_s),
-             dict(n_real=n, m=m, cap=cap))
-        _sub("pok", _prune_or_keep_device,
-             (vec_s, sds((npad, cap), i32), sds((npad,), i32)),
-             dict(m=m, block=blk, keep=keep_nearest))
-        _sub("fill", _random_fill_device, (graph_s, key_s),
-             dict(m=m, block=blk, n_real=n))
+        _sub("degreg", _degree_reg_device, (vec_s, graph_s, key_s),
+             dict(n_real=n, m=m, cap=cap, block=blk, keep=keep_nearest))
 
     def _run(name, fn, *args, **statics):
         """Call the AOT-compiled phase if its compile succeeded and the
@@ -563,6 +573,9 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         [vectors, np.tile(vectors[:1], (npad - n, 1))])
     vectors_dev = jnp.asarray(vpad)
     sqn = jnp.sum(vectors_dev * vectors_dev, axis=1)
+    if verbose:
+        vectors_dev.block_until_ready()
+        print(f"vectors on device {_el()}", flush=True)
 
     # phase 1: NN-descent from a locality-seeded (k-means cell) graph,
     # fully device-resident
@@ -663,23 +676,15 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     # phase 3: reference degree regularization (build_graph.go:414-484),
     # edge pipeline + over-degree prune on device, random fill on host
     key, kr = jax.random.split(key)
-    conn, counts = _run("conn", _conn_lists_device, pruned_dev, kr,
-                        n_real=n, m=m, cap=cap)
-    out_dev = _run("pok", _prune_or_keep_device, vectors_dev, conn, counts,
-                   m=m, block=blk, keep=keep_nearest)
-    if verbose:
-        out_dev.block_until_ready()
-        print(f"degree regularization done {_el()}", flush=True)
-    key, kf = jax.random.split(key)
-    out_dev = _run("fill", _random_fill_device, out_dev, kf,
-                   m=m, block=blk, n_real=n)
+    out_dev = _run("degreg", _degree_reg_device, vectors_dev, pruned_dev, kr,
+                   n_real=n, m=m, cap=cap, block=blk, keep=keep_nearest)
     out = np.asarray(out_dev[:n]).astype(np.int64)
     if pool is not None:
         pool.shutdown(wait=False)
+    if verbose:
+        print(f"degree regularization + fill done {_el()}", flush=True)
     graph = _random_fill(out, m, rng, verbose)  # host mop-up of stragglers
     graph = graph.astype(np.int32)
-    if verbose:
-        print(f"random fill done {_el()}", flush=True)
     if quality_gate is None:
         quality_gate = verbose
     if quality_gate:
