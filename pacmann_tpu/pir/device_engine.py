@@ -406,6 +406,25 @@ def _finish_step(state, sel, resp, *, C, R, Hp, S, k, dpp):
     return new_state, entries, oks
 
 
+@functools.partial(jax.jit, static_argnames=("S", "P", "C", "k",
+                                             "entry_u32", "psize"))
+def _pack_db_device(raw_dev, *, S: int, P: int, C: int, k: int,
+                    entry_u32: int, psize: int):
+    """(n, entry_u32) u32 -> (S, P, C*k, 128) u32 on device: zero-pad rows
+    to P*psize and columns to k*128, pad each psize-row partition to its
+    S*C-row slot, then partition-major -> set-major transpose — the
+    device twin of _pack_partitions."""
+    n = raw_dev.shape[0]
+    x = jnp.zeros((P * psize, k * 128), jnp.uint32)
+    x = x.at[:n, :entry_u32].set(raw_dev)
+    x = x.reshape(P, psize, k * 128)
+    if psize < S * C:
+        x = jnp.pad(x, ((0, 0), (0, S * C - psize), (0, 0)))
+    return (x.reshape(P, S, C, k, 128)
+            .transpose(1, 0, 2, 3, 4)
+            .reshape(S, P, C * k, 128))
+
+
 class DevicePianoEngine:
     """Batch PIR with device-resident hint state (drop-in query/prep API)."""
 
@@ -479,9 +498,20 @@ class DevicePianoEngine:
     def _pack_db(self, raw):
         """Pack + place the server DB (single device; the sharded engine
         overrides this to pack per-shard so no device — and no single host
-        buffer — ever holds more than one shard's partitions)."""
-        return jax.device_put(
-            self._pack_partitions(raw, 0, self.config.partition_num))
+        buffer — ever holds more than one shard's partitions).
+
+        The raw (n, entry_u32) array is uploaded as-is and padded/laid out
+        ON DEVICE: the packed (S, P, C*k, 128) buffer is k*128/entry_u32
+        times larger than raw (1.02 GB vs 0.64 GB at SIFT1M), and H2D over
+        the tunnel is the scarce resource — upload the small form, let the
+        device do the reshape/transpose."""
+        P = self.config.partition_num
+        p = self.params
+        return _pack_db_device(
+            jax.device_put(np.ascontiguousarray(raw, np.uint32)),
+            S=p.set_size, P=P, C=p.chunk_size, k=self.k,
+            entry_u32=self.config.entry_bytes // 4,
+            psize=self.config.partition_size)
 
     # -- offline -------------------------------------------------------------
 

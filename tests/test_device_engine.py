@@ -14,6 +14,17 @@ def _mk(rng, n=8192, entry_bytes=32, batch=32, fail=20):
     return raw, pir
 
 
+def test_device_pack_matches_host_pack():
+    """The on-device DB layout program must be bit-identical to the host
+    _pack_partitions oracle, including non-divisible partition padding."""
+    rng = np.random.default_rng(51)
+    for n in (8192, 8000):
+        raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+        pir = DevicePianoEngine(n, 32, 32, raw, 20)
+        host = pir._pack_partitions(raw, 0, pir.config.partition_num)
+        assert np.array_equal(np.asarray(pir.db), host), n
+
+
 def test_device_spread_queries_exact():
     rng = np.random.default_rng(50)
     raw, pir = _mk(rng)
