@@ -480,7 +480,10 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         return f"[{time.perf_counter() - t_start:.1f}s]"
 
     rng = np.random.default_rng(seed)
-    vectors = np.asarray(vectors, np.float32)
+    on_device = isinstance(vectors, jax.Array) and not isinstance(
+        vectors, np.ndarray)
+    if not on_device:
+        vectors = np.asarray(vectors, np.float32)
     n, d = vectors.shape
     blk = min(block, n)
     npad = -(-n // blk) * blk
@@ -569,9 +572,18 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                               f"{type(e).__name__}: {e}]", flush=True)
         return fn(*args, **statics)
 
-    vpad = vectors if npad == n else np.concatenate(
-        [vectors, np.tile(vectors[:1], (npad - n, 1))])
-    vectors_dev = jnp.asarray(vpad)
+    if on_device:
+        # device-resident input (e.g. device-synthesized demo data): pad
+        # on device, never round-trip the big array through the host
+        vectors_dev = vectors.astype(jnp.float32)
+        if npad != n:
+            vectors_dev = jnp.concatenate(
+                [vectors_dev,
+                 jnp.broadcast_to(vectors_dev[:1], (npad - n, d))])
+    else:
+        vpad = vectors if npad == n else np.concatenate(
+            [vectors, np.tile(vectors[:1], (npad - n, 1))])
+        vectors_dev = jnp.asarray(vpad)
     sqn = jnp.sum(vectors_dev * vectors_dev, axis=1)
     if verbose:
         vectors_dev.block_until_ready()
@@ -760,14 +772,21 @@ def choose_start_ids(vectors: np.ndarray, n_starts: int, *,
     start set is part of the index, not the query protocol: same count,
     same per-query cost, no privacy change — start vectors are client-held
     in the private path either way)."""
-    vectors = np.asarray(vectors, np.float32)
     n = vectors.shape[0]
     n_starts = min(n_starts, n)
     blk = min(block, n)
     npad = -(-n // blk) * blk
-    vpad = vectors if npad == n else np.concatenate(
-        [vectors, np.tile(vectors[:1], (npad - n, 1))])
-    v_dev = jnp.asarray(vpad)
+    if isinstance(vectors, np.ndarray):
+        vectors = np.asarray(vectors, np.float32)
+        vpad = vectors if npad == n else np.concatenate(
+            [vectors, np.tile(vectors[:1], (npad - n, 1))])
+        v_dev = jnp.asarray(vpad)
+    else:  # device-resident: pad without a host round trip
+        v_dev = vectors.astype(jnp.float32)
+        if npad != n:
+            v_dev = jnp.concatenate(
+                [v_dev, jnp.broadcast_to(v_dev[:1], (npad - n,
+                                                     v_dev.shape[1]))])
     key = jax.random.PRNGKey(seed)
     cent = v_dev[jax.random.randint(key, (n_starts,), 0, n, jnp.int32)]
     for _ in range(iters):

@@ -31,7 +31,10 @@ def brute_force_knn(vectors: np.ndarray, queries: np.ndarray, k: int,
     """Exact ground-truth top-k by blocked L2 scan (for synthetic tests)."""
     from pacmann_tpu.ops.distance import l2_distance_xla
 
-    vectors = np.asarray(vectors, np.float32)
+    if isinstance(vectors, np.ndarray):
+        vectors = np.asarray(vectors, np.float32)
+    # else: device-resident vectors stay on device — the blocked
+    # l2_distance_xla passes slice them there (no D2H of the big array)
     out = []
     for start in range(0, queries.shape[0], 256):
         q = np.asarray(queries[start : start + 256], np.float32)
@@ -65,7 +68,9 @@ def evaluate_graph_quality(vectors: np.ndarray, graph: np.ndarray,
     rng = np.random.default_rng(seed)
     n = vectors.shape[0]
     targets = rng.integers(0, n, size=num_queries)
-    queries = np.asarray(vectors)[targets]
+    # fancy-index FIRST (device gather for device arrays), then pull the
+    # small (Q, d) slice — np.asarray(vectors) would D2H the whole DB
+    queries = np.asarray(vectors[targets])
 
     if use_engine:
         from pacmann_tpu.graph.beam import PlaintextEngine

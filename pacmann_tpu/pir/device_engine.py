@@ -507,8 +507,12 @@ class DevicePianoEngine:
         device do the reshape/transpose."""
         P = self.config.partition_num
         p = self.params
+        if isinstance(raw, np.ndarray):
+            raw_dev = jax.device_put(np.ascontiguousarray(raw, np.uint32))
+        else:                        # already device-resident: zero upload
+            raw_dev = raw.astype(jnp.uint32)
         return _pack_db_device(
-            jax.device_put(np.ascontiguousarray(raw, np.uint32)),
+            raw_dev,
             S=p.set_size, P=P, C=p.chunk_size, k=self.k,
             entry_u32=self.config.entry_bytes // 4,
             psize=self.config.partition_size)

@@ -28,6 +28,21 @@ def pack_vertex_db(vectors: np.ndarray, graph: np.ndarray) -> np.ndarray:
     return np.concatenate([vectors.view("<u4"), graph], axis=1).astype(np.uint32)
 
 
+def pack_vertex_db_device(vectors, graph):
+    """Device twin of pack_vertex_db: (n, dim) f32 ‖ (n, m) int -> raw
+    (n, dim+m) u32 ON DEVICE (f32 bitcast + concat). With device-resident
+    vectors/graph (e.g. straight out of build_graph's device phases or a
+    device synthesizer) the PIR server DB never crosses the host boundary
+    — at SIFT1M that saves a 640 MB H2D upload."""
+    import jax
+    import jax.numpy as jnp
+
+    v = jax.lax.bitcast_convert_type(
+        jnp.asarray(vectors, jnp.float32), jnp.uint32)
+    g = jnp.asarray(graph).astype(jnp.uint32)
+    return jnp.concatenate([v, g], axis=1)
+
+
 def unpack_entries(entries: np.ndarray, dim: int, m: int):
     """(B, dim+m) u32 -> ((B, dim) f32 vectors, (B, m) i64 neighbors).
 

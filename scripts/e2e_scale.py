@@ -47,6 +47,27 @@ def synth_continuum(n: int, d: int, rng, latent: int = 16) -> np.ndarray:
     return out
 
 
+def synth_continuum_device(n: int, d: int, seed: int, latent: int = 16):
+    """Device-side twin of synth_continuum: the data never exists on the
+    host, so the demo skips the (n, d) H2D upload entirely — measured
+    351 s for 512 MB on a congested tunnel day. Returns a jnp (n, d) f32
+    array; different RNG stream than the host version (tag it 'dev')."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n", "d", "latent"))
+    def gen(key, *, n, d, latent):
+        kb, kz, kn = jax.random.split(key, 3)
+        basis = jax.random.normal(kb, (latent, d), jnp.float32) \
+            / jnp.sqrt(float(latent))
+        z = jax.random.normal(kz, (n, latent), jnp.float32)
+        return z @ basis + 0.02 * jax.random.normal(kn, (n, d), jnp.float32)
+
+    return gen(jax.random.PRNGKey(seed), n=n, d=d, latent=latent)
+
+
 def synth_vectors(n: int, d: int, clustered: bool, rng,
                   latent: int = 16, spread: float = 0.35) -> np.ndarray:
     """SIFT-like synthetic data (or uniform with --uniform).
@@ -98,6 +119,10 @@ def main():
                     help="latent-manifold continuum data (the graph-vs-"
                          "cluster separation workload: nearest-centroid "
                          "collapses, graph search holds)")
+    ap.add_argument("--device-synth", action="store_true",
+                    help="synthesize the continuum data ON DEVICE and keep "
+                         "the whole data path device-resident (no (n,d) "
+                         "vector upload, no 640 MB raw-DB upload)")
     ap.add_argument("--latent", type=int, default=16,
                     help="intrinsic dim of cluster centers (0 = full-d "
                          "equidistant centers, the adversarial variant)")
@@ -110,6 +135,8 @@ def main():
 
     n, d, m = args.n, 128, 32
     tag = (f"{n}_uniform" if args.uniform
+           else f"{n}_continuum_l{args.latent}dev" if args.continuum
+           and args.device_synth
            else f"{n}_continuum_l{args.latent}" if args.continuum
            else f"{n}_clustered_l{args.latent}")
     gpath = f"/tmp/graph_{tag}.npy"
@@ -122,7 +149,10 @@ def main():
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    if args.continuum:
+    if args.continuum and args.device_synth:
+        vectors = synth_continuum_device(n, d, seed=0, latent=args.latent)
+        vectors.block_until_ready()
+    elif args.continuum:
         vectors = synth_continuum(n, d, rng, latent=args.latent)
     else:
         vectors = synth_vectors(n, d, not args.uniform, rng,
@@ -154,7 +184,9 @@ def main():
     if args.uniform:
         queries = rng.random((Q, d), dtype=np.float32)
     else:
-        queries = vectors[rng.choice(n, Q, replace=False)] \
+        # np.asarray first: with device-resident vectors this is a device
+        # gather + a small (Q, d) D2H, not a full-DB pull
+        queries = np.asarray(vectors[rng.choice(n, Q, replace=False)]) \
             + 0.1 * rng.standard_normal((Q, d)).astype(np.float32)
     t0 = time.time()
     gnd = brute_force_knn(vectors, queries, args.k)
@@ -179,9 +211,15 @@ def main():
 
     from pacmann_tpu.pir.device_engine import DevicePianoEngine
     from pacmann_tpu.private.fused_search import FusedPrivateSearch
-    from pacmann_tpu.private.oracle import pack_vertex_db
+    from pacmann_tpu.private.oracle import (
+        pack_vertex_db,
+        pack_vertex_db_device,
+    )
 
-    raw = pack_vertex_db(vectors, graph)
+    if args.device_synth:
+        raw = pack_vertex_db_device(vectors, graph)  # zero host round trip
+    else:
+        raw = pack_vertex_db(vectors, graph)
     engine = DevicePianoEngine(n, 4 * (d + m), m, raw, 8)
     t0 = time.time()
     engine.preprocessing(rng=np.random.default_rng(1))
@@ -189,8 +227,8 @@ def main():
     report["prep_s"] = round(prep_s, 2)
     print(f"prep: {prep_s:.1f}s (incl. compile)", flush=True)
 
-    fs = FusedPrivateSearch(engine, sids, vectors[sids], graph[sids],
-                            dim=d, m=m, n=n)
+    fs = FusedPrivateSearch(engine, sids, np.asarray(vectors[sids]),
+                            graph[sids], dim=d, m=m, n=n)
     # group-16 fused calls; the segmented path refreshes hints mid-group
     # whenever the budget window is short, so any group size works
     B = 16
