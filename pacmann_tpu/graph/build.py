@@ -552,6 +552,15 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
              dict(m=m, block=blk, keep=keep_nearest))
         _sub("degreg", _degree_reg_device, (vec_s, graph_s, key_s),
              dict(n_real=n, m=m, cap=cap, block=blk, keep=keep_nearest))
+        if quality_gate or (quality_gate is None and verbose):
+            from pacmann_tpu.graph.beam import _plaintext_search
+
+            Qg = min(100, n)
+            _sub("gate", _plaintext_search,
+                 (sds((n, d), f32), sds((n, m), i32),
+                  sds((int(np.sqrt(n)),), i32), sds((Qg, d), f32), key_s),
+                 dict(n=n, m=m, k=20, max_step=20, parallel=2,
+                      benchmarking=False))
 
     def _run(name, fn, *args, **statics):
         """Call the AOT-compiled phase if its compile succeeded and the
@@ -700,10 +709,17 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     if quality_gate is None:
         quality_gate = verbose
     if quality_gate:
+        from pacmann_tpu.graph.beam import _plaintext_search
         from pacmann_tpu.graph.recall import evaluate_graph_quality
 
+        def gate_search(v, g, starts, q, key):
+            return _run("gate", _plaintext_search, v, g, starts, q, key,
+                        n=n, m=m, k=20, max_step=20, parallel=2,
+                        benchmarking=False)
+
         hit_rate, avg_steps = evaluate_graph_quality(
-            vectors, graph, num_queries=min(100, n), seed=seed)
+            vectors, graph, num_queries=min(100, n), seed=seed,
+            search_fn=gate_search if futs else None)
         print(f"graph quality gate: self-query hit rate {hit_rate:.3f}, "
               f"avg steps {avg_steps:.1f}", flush=True)
     return graph

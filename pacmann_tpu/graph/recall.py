@@ -61,9 +61,14 @@ def brute_force_knn(vectors: np.ndarray, queries: np.ndarray, k: int,
 
 def evaluate_graph_quality(vectors: np.ndarray, graph: np.ndarray,
                            num_queries: int = 100, seed: int = 0,
-                           use_engine: bool = True):
+                           use_engine: bool = True, search_fn=None):
     """Self-query probe: search for each target's own vector; report hit rate
     and average steps (build_graph.go:764-805: k=20, maxStep=20, parallel=2).
+
+    search_fn: optional (vectors_dev, graph, start_ids, queries, key) ->
+    (ids, steps) override so a caller can route through an AOT-compiled
+    search program (build_graph's gate does — the cold gate compile was
+    ~40 s of the 1M build).
     """
     rng = np.random.default_rng(seed)
     n = vectors.shape[0]
@@ -72,7 +77,17 @@ def evaluate_graph_quality(vectors: np.ndarray, graph: np.ndarray,
     # small (Q, d) slice — np.asarray(vectors) would D2H the whole DB
     queries = np.asarray(vectors[targets])
 
-    if use_engine:
+    if search_fn is not None:
+        import jax
+        import jax.numpy as jnp
+
+        start_ids = jnp.asarray(np.arange(int(np.sqrt(n))), jnp.int32)
+        ids, steps = search_fn(
+            jnp.asarray(vectors, jnp.float32), jnp.asarray(graph, jnp.int32),
+            start_ids, jnp.asarray(queries, jnp.float32),
+            jax.random.PRNGKey(seed))
+        ids, steps = np.asarray(ids), np.asarray(steps)
+    elif use_engine:
         from pacmann_tpu.graph.beam import PlaintextEngine
 
         engine = PlaintextEngine(vectors, graph)
