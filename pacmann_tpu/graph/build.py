@@ -34,6 +34,21 @@ import numpy as np
 
 ALPHA = 1.2  # build_graph.go:357
 
+# Host dtypes uploaded as-is and widened to f32 ON DEVICE. SIFT-style byte
+# vectors (bvecs, u8) upload 4x smaller than the eager-f32 form — at 1M x 128
+# that is 128 MB instead of 512 MB over the (slow) host link; u8/f16 -> f32
+# is exact, bf16 is the caller's explicit precision choice.
+_COMPACT_DTYPES = ("uint8", "int8", "float16", "bfloat16")
+
+
+def _compact_host(vectors: np.ndarray) -> np.ndarray:
+    """Normalize a host vector matrix for upload: narrow dtypes are kept
+    (widened to f32 on device after transfer); everything else becomes
+    float32 on host."""
+    if vectors.dtype.name in _COMPACT_DTYPES:
+        return np.ascontiguousarray(vectors)
+    return np.asarray(vectors, np.float32)
+
 
 # ---------------------------------------------------------------------------
 # batched candidate scoring
@@ -483,7 +498,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     on_device = isinstance(vectors, jax.Array) and not isinstance(
         vectors, np.ndarray)
     if not on_device:
-        vectors = np.asarray(vectors, np.float32)
+        vectors = _compact_host(vectors)
     n, d = vectors.shape
     blk = min(block, n)
     npad = -(-n // blk) * blk
@@ -592,7 +607,9 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     else:
         vpad = vectors if npad == n else np.concatenate(
             [vectors, np.tile(vectors[:1], (npad - n, 1))])
-        vectors_dev = jnp.asarray(vpad)
+        # narrow host dtypes (u8 bvecs, f16/bf16) cross the link as-is and
+        # widen on device — see _compact_host
+        vectors_dev = jnp.asarray(vpad).astype(jnp.float32)
     sqn = jnp.sum(vectors_dev * vectors_dev, axis=1)
     if verbose:
         vectors_dev.block_until_ready()
@@ -717,8 +734,10 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                         n=n, m=m, k=20, max_step=20, parallel=2,
                         benchmarking=False)
 
+        # the padded f32 copy is already on device — never re-upload the DB
+        # (nor host-convert a compact u8/f16 input) just for the gate probe
         hit_rate, avg_steps = evaluate_graph_quality(
-            vectors, graph, num_queries=min(100, n), seed=seed,
+            vectors_dev[:n], graph, num_queries=min(100, n), seed=seed,
             search_fn=gate_search if futs else None)
         print(f"graph quality gate: self-query hit rate {hit_rate:.3f}, "
               f"avg steps {avg_steps:.1f}", flush=True)
@@ -793,10 +812,10 @@ def choose_start_ids(vectors: np.ndarray, n_starts: int, *,
     blk = min(block, n)
     npad = -(-n // blk) * blk
     if isinstance(vectors, np.ndarray):
-        vectors = np.asarray(vectors, np.float32)
+        vectors = _compact_host(vectors)
         vpad = vectors if npad == n else np.concatenate(
             [vectors, np.tile(vectors[:1], (npad - n, 1))])
-        v_dev = jnp.asarray(vpad)
+        v_dev = jnp.asarray(vpad).astype(jnp.float32)
     else:  # device-resident: pad without a host round trip
         v_dev = vectors.astype(jnp.float32)
         if npad != n:

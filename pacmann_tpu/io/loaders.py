@@ -38,9 +38,16 @@ def _vecs_raw(path: str, n: int, dim: int, elem_dtype, elem_size: int):
     return np.ascontiguousarray(raw[:, 4:]).view(elem_dtype).reshape(n, dim)
 
 
-def load_bvecs(path: str, n: int, dim: int) -> np.ndarray:
-    """(n, dim) float32 from byte vectors (loader.go:16-58)."""
-    return _vecs_raw(path, n, dim, "<u1", 1).astype(np.float32)
+def load_bvecs(path: str, n: int, dim: int, *,
+               keep_bytes: bool = False) -> np.ndarray:
+    """(n, dim) float32 from byte vectors (loader.go:16-58).
+
+    keep_bytes=True returns the raw uint8 matrix instead: build_graph /
+    choose_start_ids accept it directly and upload it 4x smaller than the
+    eager-float form, widening to f32 on device (values are identical —
+    u8 -> f32 is exact)."""
+    b = _vecs_raw(path, n, dim, "<u1", 1)
+    return b if keep_bytes else b.astype(np.float32)
 
 
 def load_fvecs(path: str, n: int, dim: int) -> np.ndarray:

@@ -78,3 +78,21 @@ def test_kmeans_bootstrap_rows_are_cell_members():
     # every initial neighbor shares the vertex's cell
     same = labels[init] == labels[:, None]
     assert float(same.mean()) > 0.99
+
+
+def test_build_graph_compact_u8_matches_f32():
+    """u8 host vectors (the bvecs compact-upload path) build the exact
+    same graph as their eager-f32 form: u8 -> f32 widening is exact, so
+    every distance — and therefore every edge decision — is identical."""
+    from pacmann_tpu.graph.build import build_graph, choose_start_ids
+
+    rng = np.random.default_rng(11)
+    v_u8 = rng.integers(0, 256, size=(512, 24), dtype=np.uint8)
+    g_u8 = build_graph(v_u8, 8, rounds=2, seed=3, quality_gate=False)
+    g_f32 = build_graph(v_u8.astype(np.float32), 8, rounds=2, seed=3,
+                        quality_gate=False)
+    assert np.array_equal(g_u8, g_f32)
+
+    s_u8 = choose_start_ids(v_u8, 16, seed=4)
+    s_f32 = choose_start_ids(v_u8.astype(np.float32), 16, seed=4)
+    assert np.array_equal(s_u8, s_f32)
