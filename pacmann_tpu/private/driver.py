@@ -84,8 +84,16 @@ class PrivateSearchResult:
 
 
 def _load_or_make_inputs(cfg: PrivateSearchConfig, rng):
+    build_vecs = None  # compact (u8) build-time alias when the source is bvecs
     if cfg.input_file:
         vectors = load_float32_matrix(cfg.input_file, cfg.n, cfg.dim)
+        if cfg.input_file.endswith(".bvecs"):
+            # byte vectors upload 4x smaller for the graph build and widen
+            # to f32 on device (bit-identical edges — see build_graph)
+            from pacmann_tpu.io.loaders import load_bvecs
+
+            build_vecs = load_bvecs(cfg.input_file, cfg.n, cfg.dim,
+                                    keep_bytes=True)
     else:
         vectors = gen_random_matrix(cfg.n, cfg.dim, rng)
 
@@ -97,7 +105,8 @@ def _load_or_make_inputs(cfg: PrivateSearchConfig, rng):
         from pacmann_tpu.graph.build import build_graph
 
         tb = time.perf_counter()
-        graph = build_graph(vectors, cfg.m, seed=cfg.seed, verbose=cfg.verbose)
+        graph = build_graph(build_vecs if build_vecs is not None else vectors,
+                            cfg.m, seed=cfg.seed, verbose=cfg.verbose)
         build_s = time.perf_counter() - tb
         if cfg.graph_file:
             save_int_matrix(cfg.graph_file, graph)

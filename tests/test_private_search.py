@@ -131,3 +131,25 @@ def test_device_fused_driver_path():
         vectors=vectors, graph=graph, queries=queries, gnd=gnd,
     )
     assert res.recall > 0.45, res.recall
+
+
+def test_driver_bvecs_input_builds_compact(tmp_path):
+    """A .bvecs input file routes the graph build through the compact u8
+    upload path and the whole private pipeline still runs."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    n, dim, m = 1024, 16, 8
+    mat = rng.integers(0, 256, size=(n, dim), dtype=np.uint8)
+    p = str(tmp_path / "vecs.bvecs")
+    with open(p, "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", dim))
+            f.write(row.tobytes())
+
+    cfg = PrivateSearchConfig(n=n, dim=dim, m=m, k=10, q=4, max_step=12,
+                              parallel=2, build_graph=True, seed=9,
+                              input_file=p)
+    res = run_private_search(cfg)
+    assert res.answers.shape == (4, 10)
+    assert res.success_rate > 0.5
