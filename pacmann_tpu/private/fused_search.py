@@ -96,25 +96,32 @@ def _seed_beam(queries, start_ids, start_vecs, start_nbrs, *,
 @functools.partial(
     jax.jit,
     static_argnames=("psize", "C", "R", "Hp", "S", "k", "max_q", "dpp",
-                     "dim", "m", "P", "seg_len", "parallel", "quota", "n"),
+                     "dim", "m", "P", "parallel", "quota", "n"),
     donate_argnames=("pir_state", "beam"),
 )
-def _fused_segment(db, pir_state, beam, queries, steps, keys,
+def _fused_segment(db, pir_state, beam, queries, keys, base, n_steps,
                    *, psize, C, R, Hp, S, k, max_q, dpp, dim, m, P,
-                   seg_len, parallel, quota, n):
-    """Run seg_len beam+PIR steps. steps (seg_len,) i32 carries the GLOBAL
-    step indices (visited-table write offsets), so one compiled program
-    serves every segment of the same length regardless of position."""
+                   parallel, quota, n):
+    """Run beam+PIR steps [base, base + n_steps) of a max_step search.
+
+    The scan's PHYSICAL length is fixed at max_step (= keys.shape[0]) while
+    `base` and `n_steps` are TRACED scalars: ONE compiled program serves
+    every segment — any length, any position. Iterations outside the active
+    window are skipped by a lax.cond (a cheap identity on the carry), which
+    is what lets segment_plan size segments to the REMAINING hint budget
+    (leftover-budget reuse) without a fresh XLA compile per segment length.
+    Global step index g = base + i addresses the visited-table write window
+    and the per-step PRNG key, so results are independent of segmentation."""
     Qn = queries.shape[0]
     F = Qn * parallel * m               # fetches per step
     Ep = k * 128
     ids, dist, nbrs, explored = beam
     cap = ids.shape[1]
+    max_step = keys.shape[0]
     bpar = pir_state["backup_parity"]
 
-    def step_fn(carry, step_inp):
+    def step_body(carry, step_idx, step_key):
         (ids, dist, nbrs, explored, pir_carry, stats) = carry
-        step_idx, step_key = step_inp
 
         # 1. frontier pop
         slots, valid = _pop_parallel_batch(dist, explored, parallel)
@@ -224,7 +231,17 @@ def _fused_segment(db, pir_state, beam, queries, steps, keys,
              jnp.sum(keep, dtype=jnp.int32),
              jnp.sum(oks, dtype=jnp.int32)])
 
-        return (ids, dist, nbrs, explored, pir_carry, stats), None
+        return (ids, dist, nbrs, explored, pir_carry, stats)
+
+    def step_fn(carry, i):
+        g = base + i
+        step_key = keys[jnp.clip(g, 0, max_step - 1)]
+        carry = jax.lax.cond(
+            i < n_steps,
+            lambda c: step_body(c, g, step_key),
+            lambda c: c,
+            carry)
+        return carry, None
 
     pir_carry = (pir_state["tag"], pir_state["prog"],
                  pir_state["primary_parity"], pir_state["slot_col"],
@@ -232,7 +249,7 @@ def _fused_segment(db, pir_state, beam, queries, steps, keys,
     stats = jnp.zeros(3, jnp.int32)
     (ids, dist, nbrs, explored, pir_carry, stats), _ = jax.lax.scan(
         step_fn, (ids, dist, nbrs, explored, pir_carry, stats),
-        (steps, keys))
+        jnp.arange(max_step, dtype=jnp.int32))
 
     tag, prog, ppar, slot_col, hist, finished = pir_carry
     new_state = dict(pir_state, tag=tag, prog=prog, primary_parity=ppar,
@@ -279,21 +296,43 @@ class FusedPrivateSearch:
         self.maintenance_s += dt
         return dt
 
-    def ensure_budget(self, max_step: int, n_queries: int, parallel: int):
-        """Refresh hints NOW if the next such search would otherwise hit a
-        refresh at its first segment — lets callers keep maintenance out of
-        latency-critical paths (the reference runs maintenance between
-        batches the same way, batch-pir.go:239-245)."""
+    def _steps_fit(self, quota: int) -> int:
+        """Worst-case steps the REMAINING budget can serve (margin matches
+        the refresh condition in search())."""
+        e = self.engine
+        if e.state is None:
+            return 0
+        return max(0, (e.params.max_query_num - 11
+                       - e.queries_made_in_partition)) // max(quota, 1)
+
+    def ensure_budget(self, max_step: int, n_queries: int, parallel: int,
+                      min_steps: int = 1):
+        """Refresh hints NOW if fewer than min_steps of the next such
+        search fit the remaining budget — lets callers keep maintenance out
+        of latency-critical paths (the reference runs maintenance between
+        batches the same way, batch-pir.go:239-245). The default lets
+        search() consume every leftover sub-query before refreshing
+        (amortized maintenance at the protocol floor); min_steps=max_step
+        restores refresh-before-group (zero mid-search refreshes, at the
+        cost of discarding the leftover window)."""
         e = self.engine
         quota = n_queries * parallel * self.m // e.config.partition_num
-        seg = self.segment_plan(max_step, quota)[0]
-        if (e.state is None or e.queries_made_in_partition + seg * quota
-                + 10 >= e.params.max_query_num):
+        min_steps = min(min_steps, max_step,
+                        (e.params.max_query_num - 2) // max(quota, 1))
+        if e.state is None or self._steps_fit(quota) < min_steps:
             self._refresh()
 
-    def segment_plan(self, max_step: int, quota: int) -> list[int]:
+    def segment_plan(self, max_step: int, quota: int,
+                     use_leftover: bool = False) -> list[int]:
         """Split max_step into segments each fitting the per-partition
-        budget (pir.go:525-533's refresh-on-exhaustion, group-level)."""
+        budget (pir.go:525-533's refresh-on-exhaustion, group-level).
+
+        use_leftover sizes the FIRST segment to the budget remaining from
+        earlier searches instead of assuming a fresh window, so partial
+        windows are consumed rather than discarded — this is what brings
+        amortized maintenance down to refresh_time * consumed/budget, the
+        protocol floor. One compiled program serves every resulting length
+        (see _fused_segment)."""
         p = self.engine.params
         per_budget = (p.max_query_num - 2) // max(quota, 1)
         if per_budget < 1:
@@ -302,6 +341,11 @@ class FusedPrivateSearch:
                 f"budget is {p.max_query_num}; use a smaller group")
         lens = []
         left = max_step
+        if use_leftover:
+            first = min(left, self._steps_fit(quota))
+            if first > 0:
+                lens.append(first)
+                left -= first
         while left > 0:
             lens.append(min(left, per_budget))
             left -= lens[-1]
@@ -318,7 +362,7 @@ class FusedPrivateSearch:
         quota = F // P
         if quota < 1:
             raise ValueError("group too small: need Qn*parallel*m >= P")
-        seg_lens = self.segment_plan(max_step, quota)
+        seg_lens = self.segment_plan(max_step, quota, use_leftover=True)
 
         cap = parallel + max_step * parallel * self.m
         beam = _seed_beam(
@@ -341,14 +385,15 @@ class FusedPrivateSearch:
             # refresh when the WORST-CASE budget cannot cover this segment
             # (private-search.go:224-230's proactive margin); the estimate
             # is corrected to the device-measured truth after the search
-            if e.queries_made_in_partition + need + 10 >= p.max_query_num:
+            if (e.state is None
+                    or e.queries_made_in_partition + need + 10
+                    >= p.max_query_num):
                 self.last_maintenance_s += self._refresh()
                 if base > 0:
                     self.refreshes += 1
-            steps = jnp.arange(base, base + seg, dtype=jnp.int32)
             e.state, beam, stats = _fused_segment(
-                e.db, e.state, beam, queries_d, steps,
-                keys[base : base + seg], seg_len=seg, **kw)
+                e.db, e.state, beam, queries_d, keys,
+                jnp.int32(base), jnp.int32(seg), **kw)
             seg_stats.append(stats)
             # budget bookkeeping mirrors engine.query (batch-pir.go:239-245)
             e.queries_made_in_partition += need

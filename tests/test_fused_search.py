@@ -143,3 +143,57 @@ def test_fused_table_free_identical_answers():
         outs.append(fs.search(queries, k=10, max_step=8, parallel=2,
                               seed=6))
     assert np.array_equal(outs[0], outs[1])
+
+
+def _mk(seed, n=1024, d=8, m=8):
+    rng = np.random.default_rng(seed)
+    vectors = rng.random((n, d), dtype=np.float32)
+    graph = np.asarray(build_graph(vectors, m, rounds=2, seed=seed),
+                       np.int64)
+    raw = pack_vertex_db(vectors, graph)
+    engine = DevicePianoEngine(n, 4 * (d + m), m, raw, 8)
+    engine.preprocessing(rng=np.random.default_rng(99))
+    sids = np.arange(32)
+    fs = FusedPrivateSearch(engine, sids, vectors[sids], graph[sids],
+                            dim=d, m=m, n=n)
+    return fs, rng
+
+
+def test_fused_search_segmentation_invariant():
+    """One compiled program serves every segment length (traced base /
+    n_steps): a search split [2, 4] is bit-identical to the unsplit [6]
+    when no refresh intervenes — the dynamic-trip-count path changes
+    nothing about which sub-queries run or where results land."""
+    fsA, rng = _mk(31)
+    fsB, _ = _mk(31)
+    queries = rng.random((2, 8), dtype=np.float32)
+    outA = fsA.search(queries, k=5, max_step=6, parallel=2, seed=7)
+    fsB.segment_plan = lambda ms, q, use_leftover=False: [2, 4]
+    outB = fsB.search(queries, k=5, max_step=6, parallel=2, seed=7)
+    assert np.array_equal(outA, outB)
+
+
+def test_fused_search_leftover_budget_reuse():
+    """Consecutive searches drain each hint window fully before refreshing
+    (segment_plan use_leftover): the refresh count tracks consumed/budget —
+    the protocol floor — instead of one refresh per search."""
+    fs, rng = _mk(32)
+    e = fs.engine
+    refreshes = 0
+    orig = e.preprocessing
+
+    def counting(*a, **kw):
+        nonlocal refreshes
+        refreshes += 1
+        return orig(*a, **kw)
+
+    e.preprocessing = counting
+    # P=4, budget 88/partition; Qn=2 parallel=2 m=8 -> quota 8/step,
+    # max_step=4 -> worst 32/search: >= 2 searches per window
+    n_searches = 5
+    for i in range(n_searches):
+        q = rng.random((2, 8), dtype=np.float32)
+        out = fs.search(q, k=5, max_step=4, parallel=2, seed=10 + i)
+        assert out.shape == (2, 5)
+    assert refreshes < n_searches, refreshes
+    assert refreshes >= 1
