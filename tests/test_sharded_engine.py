@@ -107,3 +107,36 @@ def test_sharded_matches_single_chip():
     a = single.query(ids)
     b = sharded.query(ids)
     assert np.array_equal(a, b)
+
+
+def test_fused_search_over_sharded_engine_bit_identical():
+    """The ENTIRE fused private search (beam + PIR protocol as one program)
+    runs over the partition-sharded engine on a 4-device mesh and returns
+    bit-identical answers to the single-chip engine — the multi-chip analog
+    of a full query step, with the PIR state staying partition-sharded
+    through the program."""
+    from pacmann_tpu.private.fused_search import FusedPrivateSearch
+    from pacmann_tpu.private.oracle import pack_vertex_db
+
+    rng = np.random.default_rng(40)
+    n, d, m = 1024, 8, 8
+    vectors = rng.random((n, d), dtype=np.float32)
+    graph = rng.integers(0, n, size=(n, m)).astype(np.int64)
+    raw = pack_vertex_db(vectors, graph)
+    mesh = make_mesh(4)
+
+    def mk(engcls, *extra):
+        e = engcls(n, 4 * (d + m), m, raw, 8, *extra)
+        e.preprocessing(rng=np.random.default_rng(7))
+        sids = np.arange(32)
+        return FusedPrivateSearch(e, sids, vectors[sids], graph[sids],
+                                  dim=d, m=m, n=n)
+
+    fs_single = mk(DevicePianoEngine)
+    fs_shard = mk(ShardedPianoEngine, mesh)
+    q = rng.random((2, d), dtype=np.float32)
+    out_single = fs_single.search(q, k=5, max_step=4, parallel=2, seed=3)
+    out_shard = fs_shard.search(q, k=5, max_step=4, parallel=2, seed=3)
+    assert np.array_equal(out_single, out_shard)
+    st = fs_shard.engine.state
+    assert "shard" in str(st["primary_parity"].sharding.spec)
