@@ -41,10 +41,11 @@ ALPHA = 1.2  # build_graph.go:357
 _COMPACT_DTYPES = ("uint8", "int8", "float16", "bfloat16")
 
 
-def _compact_host(vectors: np.ndarray) -> np.ndarray:
+def _compact_host(vectors) -> np.ndarray:
     """Normalize a host vector matrix for upload: narrow dtypes are kept
     (widened to f32 on device after transfer); everything else becomes
     float32 on host."""
+    vectors = np.asarray(vectors)
     if vectors.dtype.name in _COMPACT_DTYPES:
         return np.ascontiguousarray(vectors)
     return np.asarray(vectors, np.float32)

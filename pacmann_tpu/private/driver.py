@@ -85,15 +85,18 @@ class PrivateSearchResult:
 
 def _load_or_make_inputs(cfg: PrivateSearchConfig, rng):
     build_vecs = None  # compact (u8) build-time alias when the source is bvecs
-    if cfg.input_file:
-        vectors = load_float32_matrix(cfg.input_file, cfg.n, cfg.dim)
-        if cfg.input_file.endswith(".bvecs"):
-            # byte vectors upload 4x smaller for the graph build and widen
-            # to f32 on device (bit-identical edges — see build_graph)
-            from pacmann_tpu.io.loaders import load_bvecs
+    if cfg.input_file and cfg.input_file.endswith(".bvecs"):
+        # read the byte file ONCE: the u8 form uploads 4x smaller for the
+        # graph build and widens to f32 on device (bit-identical edges —
+        # see build_graph); the f32 view everything else needs derives
+        # from it without a second file pass
+        from pacmann_tpu.io.loaders import load_bvecs
 
-            build_vecs = load_bvecs(cfg.input_file, cfg.n, cfg.dim,
-                                    keep_bytes=True)
+        build_vecs = load_bvecs(cfg.input_file, cfg.n, cfg.dim,
+                                keep_bytes=True)
+        vectors = build_vecs.astype(np.float32)
+    elif cfg.input_file:
+        vectors = load_float32_matrix(cfg.input_file, cfg.n, cfg.dim)
     else:
         vectors = gen_random_matrix(cfg.n, cfg.dim, rng)
 

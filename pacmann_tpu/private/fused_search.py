@@ -317,8 +317,11 @@ class FusedPrivateSearch:
         cost of discarding the leftover window)."""
         e = self.engine
         quota = n_queries * parallel * self.m // e.config.partition_num
+        # cap by what a FRESH window can satisfy — same -11 margin as
+        # _steps_fit, or min_steps=max_step could never be met and every
+        # call would refresh
         min_steps = min(min_steps, max_step,
-                        (e.params.max_query_num - 2) // max(quota, 1))
+                        (e.params.max_query_num - 11) // max(quota, 1))
         if e.state is None or self._steps_fit(quota) < min_steps:
             self._refresh()
 

@@ -39,7 +39,10 @@ def main():
         t0 = time.perf_counter()
         fs.search(q, k=10, max_step=20, parallel=3, seed=40 + G)  # compile
         print(f"{tag} compile+run: {time.perf_counter()-t0:.1f}s "
-              f"(plan {fs.segment_plan(20, G * 3 * m // 16)})", flush=True)
+              f"(next plan "
+              f"{fs.segment_plan(20, G * 3 * m // 16, use_leftover=True)}, "
+              f"fresh-window plan {fs.segment_plan(20, G * 3 * m // 16)})",
+              flush=True)
         comp = []
         fs.maintenance_s = 0.0
         fs.fetch_stats[:] = 0
