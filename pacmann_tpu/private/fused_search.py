@@ -33,9 +33,13 @@ grows with the group size and the drop rate falls. Groups whose sub-query
 need exceeds the per-partition budget are split into SEGMENTS with a hint
 refresh between them — the reference's refresh-on-exhaustion semantics
 (pir.go:525-533) lifted to the group level, which is what unlocks group
-sizes past the single-budget ceiling (group 16 at SIFT1M). Beam state stays
-on device across segments; answers = top-k of each query's visited table.
-Only (Qn, k) ids leave the device.
+sizes past the single-budget ceiling (group 16 at SIFT1M). The FIRST
+segment is sized to the budget left over from earlier searches (partial
+windows are drained, never discarded), which pins amortized maintenance to
+the protocol floor refresh_time * consumed/budget; the segment program has
+a fixed physical length with traced base/n_steps, so one compile serves
+every segment. Beam state stays on device across segments; answers = top-k
+of each query's visited table. Only (Qn, k) ids leave the device.
 """
 
 from __future__ import annotations
