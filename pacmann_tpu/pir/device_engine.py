@@ -301,11 +301,11 @@ def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
     Per-round device work must not pay one deep op-chain per round (the
     naive lax.scan over Q spends ~1 ms of op overhead per round). Instead:
 
-      Phase A — a lax.scan over Q touching ONLY the tiny selection state:
-        hit scan (pir.go:404-419) with in-flight reservations (taken slots,
-        pending per-chunk histogram, pending budget) so later rounds see
-        earlier rounds' consumption — the sequential protocol's atomicity,
-        carried by booleans instead of 100 MB parity arrays.
+      Phase A — fully vectorized slot selection: hit scan (pir.go:404-419)
+        with first-round-wins reservations resolved by a fixed number of
+        dense repair passes (see _pir_select) so later rounds see earlier
+        rounds' consumption — the sequential protocol's atomicity as
+        parallel vector ops, no scan and no scatters.
       Phase B — everything heavy, vectorized over all (Q, P) rounds in
         single ops: set expansion + programmed points (pir.go:422-433),
         replacements (pir.go:436-439), ONE fused server XOR gather
