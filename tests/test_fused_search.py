@@ -197,3 +197,23 @@ def test_fused_search_leftover_budget_reuse():
         assert out.shape == (2, 5)
     assert refreshes < n_searches, refreshes
     assert refreshes >= 1
+
+
+def test_ensure_budget_full_group_mode():
+    """ensure_budget(min_steps=max_step) restores refresh-before-group:
+    after it runs, a full search fits with zero mid-search refreshes, and
+    an immediate second call does not refresh again (the clamp uses the
+    same margin as the planner, so the mode is satisfiable)."""
+    fs, rng = _mk(33)
+    e = fs.engine
+    q = rng.random((2, 8), dtype=np.float32)
+    # force a nearly-drained window: only 2 of 4 steps fit
+    e.queries_made_in_partition = 60
+    fs.maintenance_s = 0.0
+    fs.ensure_budget(4, 2, 2, min_steps=4)
+    assert fs.maintenance_s > 0          # refreshed
+    m0 = fs.maintenance_s
+    fs.ensure_budget(4, 2, 2, min_steps=4)
+    assert fs.maintenance_s == m0        # fresh window satisfies the mode
+    fs.search(q, k=5, max_step=4, parallel=2, seed=2)
+    assert fs.last_maintenance_s == 0.0  # no mid-search refresh
