@@ -1,0 +1,268 @@
+"""Pallas kernels for the PianoPIR client's per-step protocol phases.
+
+The online client protocol (device_engine._pir_select/_pir_finish) is
+op-count-bound on TPU: at SIFT1M group-16 shapes the select+finish XLA
+graphs lower to ~60-100 fused kernels whose launch overhead (~15-30 us
+each) costs ~3.5 ms/step while the actual data traffic is worth ~0.5 ms
+(RESULTS.md roofline). These kernels collapse the two dominant subgraphs
+into one Pallas program each:
+
+1. `claim_select` — Phase A slot selection (pir.go:404-419). Replaces the
+   (Q, P, Hp) eligibility tensor + 6 dense repair passes with a per-
+   partition SEQUENTIAL greedy claim loop — the reference's exact
+   semantics: round q takes the first eligible primary slot not consumed
+   by an earlier round of the same batch. Sequential-over-Q is cheap here
+   because each round is ~30 vector ops on a (Hp/128, 128) tile; it is
+   the (Q, Q, P) repair algebra and its kernel launches that cost.
+   NOTE the XLA repair path resolves contention in priority order per
+   PASS, which can assign a contested slot to a LATER round (the earlier
+   round then takes the next slot); the sequential kernel always lets the
+   earlier round win first. Both satisfy the protocol (any eligible slot
+   decodes correctly; consumed slots stay unique) — answers are
+   bit-identical, only which slot serves a contended round can differ.
+
+2. `refresh_parity` — the Phase C primary-parity rewrite (pir.go:460-463).
+   The XLA form gathers (P, Hp, Ep) rows of refreshed parities and
+   rewrites the whole array with a masked select (~190 MB of traffic +
+   an ~100 GB/s gather); here each partition's parity block streams
+   through VMEM once and the <= Q refreshed rows are stored in place at
+   dynamic sublane offsets (Mosaic-legal; dynamic LANE indexing is not,
+   which is why slot_col's column update stays in XLA).
+
+Both kernels run interpreted off-TPU (tests) and compiled on TPU; NumPy
+twins below define the semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pacmann_tpu.utils.platform import default_interpret
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: sequential greedy slot claim (Phase A)
+
+
+def _claim_kernel(cq_ref, oq_ref, rq_ref, pc_ref, col_ref,
+                  hit_ref, fnd_ref, *, Hp: int, Q: int):
+    """Grid (P,). Per partition: for q in [0, Q): take the first eligible
+    unclaimed primary slot.
+
+    cq/oq/rq (1, Q) i32 SMEM: chunk, offset, is-real per round;
+    pc (1, Hh, 128) i32 VMEM: programmed chunk per slot (-1 = unset);
+    col (1, S, Hh, 128) VMEM: cached PRF offset per (chunk, slot);
+    hit/fnd (1, Q) i32 SMEM outputs.
+    Slot index h = hh*128 + lane (the (Hp,) order of the XLA path).
+    """
+    Hh = pc_ref.shape[1]
+    h2 = (jax.lax.broadcasted_iota(jnp.int32, (Hh, 128), 0) * 128
+          + jax.lax.broadcasted_iota(jnp.int32, (Hh, 128), 1))
+    pc = pc_ref[0]
+    big = jnp.int32(Hh * 128)
+
+    def body(q, claimed):
+        ck = cq_ref[0, q]
+        off = oq_ref[0, q]
+        real = rq_ref[0, q]
+        col = col_ref[0, pl.ds(ck, 1)][0].astype(jnp.int32)   # (Hh, 128)
+        elig = (col == off) & (pc != ck) & jnp.logical_not(claimed)
+        cand = jnp.where(elig, h2, big)
+        m = jnp.min(cand)
+        fnd = jnp.logical_and(m < big, real != 0)
+        mv = jnp.where(fnd, m, big)
+        claimed = claimed | (h2 == mv)
+        hit_ref[0, q] = jnp.where(fnd, m, 0)
+        fnd_ref[0, q] = fnd.astype(jnp.int32)
+        return claimed
+
+    # padded slots (h >= Hp) start claimed so they are never eligible
+    jax.lax.fori_loop(0, Q, body, h2 >= Hp)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "dpp", "interpret"))
+def _claim_select_impl(slot_col, prog, chunk_q, off_q, real_q,
+                       *, C: int, dpp: int, interpret: bool):
+    Q, P = chunk_q.shape
+    S, Hp = slot_col.shape[1], slot_col.shape[2]
+    Hpp = _ceil_to(Hp, 128)
+    Hh = Hpp // 128
+
+    # programmed-chunk per slot; -1 = unprogrammed (matches the XLA path's
+    # ~prog_set | (prog_chunk != chunk) since chunk ids are >= 0)
+    pc = jnp.where(prog != jnp.uint32(dpp),
+                   (prog // jnp.uint32(C)).astype(jnp.int32),
+                   jnp.int32(-1))
+    if Hpp != Hp:
+        pc = jnp.pad(pc, ((0, 0), (0, Hpp - Hp)), constant_values=-1)
+        slot_col = jnp.pad(slot_col, ((0, 0), (0, 0), (0, Hpp - Hp)))
+    pc = pc.reshape(P, Hh, 128)
+    col4 = slot_col.reshape(P, S, Hh, 128)
+
+    cq = chunk_q.T.astype(jnp.int32)     # (P, Q)
+    oq = off_q.T.astype(jnp.int32)
+    rq = real_q.T.astype(jnp.int32)
+
+    kernel = functools.partial(_claim_kernel, Hp=Hp, Q=Q)
+    hit, fnd = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((P, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((P, Q), jnp.int32)),
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, Q), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Q), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Q), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hh, 128), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Hh, 128), lambda p: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Q), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Q), lambda p: (p, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(cq, oq, rq, pc, col4)
+    return hit.T, fnd.T != 0
+
+
+def claim_select(slot_col, prog, chunk_q, off_q, real_q,
+                 *, C: int, dpp: int, interpret: bool | None = None):
+    """Phase-A slot selection, sequential-greedy per partition.
+
+    slot_col (P, S, Hp) uint: cached PRF offsets per primary slot;
+    prog (P, Hp) u32 programmed points (dpp = unset); chunk_q/off_q (Q, P);
+    real_q (Q, P) bool. Returns (hit (Q, P) i32, found (Q, P) bool):
+    round q's claimed slot (0 when not found). Exactly one round claims
+    any given slot (pir.go:404-419 scanned per round, first hit wins).
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    return _claim_select_impl(slot_col, prog, chunk_q, off_q, real_q,
+                              C=C, dpp=dpp, interpret=interpret)
+
+
+def claim_select_np(slot_col, prog, chunk_q, off_q, real_q, *, C, dpp):
+    """NumPy twin of claim_select (semantics oracle)."""
+    Q, P = chunk_q.shape
+    Hp = slot_col.shape[2]
+    hit = np.zeros((Q, P), np.int32)
+    found = np.zeros((Q, P), bool)
+    prog_set = prog != np.uint32(dpp)
+    prog_chunk = (prog // np.uint32(C)).astype(np.int64)
+    for p in range(P):
+        claimed = np.zeros(Hp, bool)
+        for q in range(Q):
+            if not real_q[q, p]:
+                continue
+            ck = int(chunk_q[q, p])
+            elig = ((slot_col[p, ck].astype(np.int64) == int(off_q[q, p]))
+                    & (~prog_set[p] | (prog_chunk[p] != ck)) & ~claimed)
+            idx = np.flatnonzero(elig)
+            if idx.size:
+                hit[q, p] = idx[0]
+                found[q, p] = True
+                claimed[idx[0]] = True
+    return hit, found
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: primary-parity row refresh (Phase C)
+
+
+def _refresh_kernel(hit_ref, ok_ref, np_ref, pin_ref, pout_ref,
+                    *, hb: int, Q: int):
+    """Grid (P, Hp//hb). Stream this partition's parity block through VMEM
+    and overwrite the <= Q refreshed rows in place (rows unique per
+    partition by the claim invariant)."""
+    b = pl.program_id(1)
+    start = b * hb
+    pout_ref[:] = pin_ref[:]
+
+    def body(q, _):
+        h = hit_ref[0, q]
+
+        @pl.when((ok_ref[0, q] != 0) & (h >= start) & (h < start + hb))
+        def _():
+            pout_ref[0, pl.ds(h - start, 1), :] = np_ref[0, pl.ds(q, 1), :]
+
+        return 0
+
+    jax.lax.fori_loop(0, Q, body, 0)
+
+
+def _pick_hb(Hp: int, cap: int = 1024) -> int:
+    """Largest divisor of Hp that is <= cap and a multiple of 8 (sublane
+    tile). Hp is always a multiple of the pow2 chunk size in real configs;
+    fall back to the whole axis for odd test shapes."""
+    for nb in range(-(-Hp // cap), Hp + 1):
+        if Hp % nb == 0 and (Hp // nb) % 8 == 0 and Hp // nb <= cap:
+            return Hp // nb
+    return Hp
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _refresh_parity_impl(ppar, new_par, hit, ok, *, interpret: bool):
+    P, Hp, Ep = ppar.shape
+    Q = hit.shape[0]
+    hb = _pick_hb(Hp)
+    ht = hit.T.astype(jnp.int32)        # (P, Q)
+    okt = ok.T.astype(jnp.int32)
+    npt = jnp.swapaxes(new_par, 0, 1)                          # (P, Q, Ep)
+
+    kernel = functools.partial(_refresh_kernel, hb=hb, Q=Q)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, Hp, Ep), jnp.uint32),
+        grid=(P, Hp // hb),
+        in_specs=[
+            pl.BlockSpec((1, Q), lambda p, b: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Q), lambda p, b: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Q, Ep), lambda p, b: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, Ep), lambda p, b: (p, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hb, Ep), lambda p, b: (p, b, 0),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(ht, okt, npt, ppar)
+
+
+def refresh_parity(ppar, new_par, hit, ok, *, interpret: bool | None = None):
+    """Overwrite ppar[p, hit[q, p], :] with new_par[q, p, :] wherever
+    ok[q, p] (hit slots unique per partition). ppar (P, Hp, Ep) u32,
+    new_par (Q, P, Ep) u32, hit (Q, P) i32, ok (Q, P) bool."""
+    if interpret is None:
+        interpret = default_interpret()
+    return _refresh_parity_impl(ppar, new_par, hit, ok, interpret=interpret)
+
+
+def refresh_parity_np(ppar, new_par, hit, ok):
+    """NumPy twin of refresh_parity."""
+    out = ppar.copy()
+    Q, P = hit.shape
+    for p in range(P):
+        for q in range(Q):
+            if ok[q, p]:
+                out[p, hit[q, p]] = new_par[q, p]
+    return out

@@ -123,8 +123,30 @@ def _prep_fused(db4, masks, repl_off, *, T: int, S: int, C: int, Hp: int,
     return table, parities, repl_val, slot_col, checksum
 
 
+def _resolve_route(route):
+    """Client-protocol kernel routing, resolved at trace time (pinned per
+    compiled shape, like xor_server_scan's routing).
+
+    None defers to $PACMANN_PROTOCOL_ROUTE, then _DEFAULT_ROUTE. "auto" =
+    the Pallas kernels on TPU, dense XLA elsewhere."""
+    import os
+
+    if route is None:
+        route = os.environ.get("PACMANN_PROTOCOL_ROUTE", _DEFAULT_ROUTE)
+    if route == "auto":
+        from pacmann_tpu.utils.platform import on_tpu
+
+        return "pallas" if on_tpu() else "xla"
+    return route
+
+
+# The validated default. "xla" until the Pallas protocol kernels have a
+# measured win on real TPU hardware; then "auto".
+_DEFAULT_ROUTE = "xla"
+
+
 def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
-                *, C, R, Hp, S, k, max_q, dpp, masks=None):
+                *, C, R, Hp, S, k, max_q, dpp, masks=None, route=None):
     """Client-side phases A+B-prep: slot selection and query-set build.
 
     Returns (sel, qs) where qs (Q, P, S) u32 is the per-round offset vector
@@ -149,45 +171,58 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
     chunk_q = (idxu_q // C).astype(jnp.int32)          # (Q, P)
     off_q = idxu_q % C                                 # (Q, P) u32
 
-    prog_set = prog != dpp                             # (P, Hp)
-    prog_chunk = (prog // C).astype(jnp.int32)
-
-    # ---- Phase A: fully vectorized slot selection (see _pir_batch doc).
+    # ---- Phase A: slot selection.
     p_ix2 = jnp.broadcast_to(jnp.arange(P)[None, :], (Q, P))
-    col_all = slot_col[p_ix2, chunk_q]                 # (Q, P, Hp) off-dtype
-    elig = (col_all == off_q[..., None].astype(col_all.dtype)) & (
-        ~prog_set[None] | (prog_chunk[None] != chunk_q[..., None]))
-    elig &= real_q[..., None]
+    if _resolve_route(route) == "pallas":
+        # one Pallas program: sequential greedy claim per partition — the
+        # reference's exact per-round semantics (pir.go:404-419), replacing
+        # the ~60-kernel eligibility+repair subgraph below (the dominant
+        # per-step op-overhead term, RESULTS.md roofline).
+        from pacmann_tpu.ops.protocol_kernels import claim_select
 
-    # Scatter-free repair loop: TPU scatters whose indices may collide
-    # (the old claim/taken .at[] updates) lower to SERIALIZED per-row
-    # updates — ~1.5k sequential writes per op was the dominant per-step
-    # cost of the fused search. The same first-q-wins semantics falls out
-    # of a (Q, Q, P) comparison and a dense one-hot un-eligibility mask,
-    # all parallel vector ops. Bit-identical to the sequential claim loop.
-    _REPAIR = 6
-    q_iota = jnp.arange(Q, dtype=jnp.int32)
-    earlier = q_iota[None, :] < q_iota[:, None]      # [q, q'] = q' before q
-    h_iota = jnp.arange(Hp, dtype=jnp.int32)
-    hit_q = jnp.zeros((Q, P), jnp.int32)
-    resolved = jnp.zeros((Q, P), bool)
-    for _ in range(_REPAIR):
-        elig_eff = elig & ~resolved[..., None]
-        cand_hit = jnp.argmax(elig_eff, axis=2).astype(jnp.int32)
-        cand_found = jnp.any(elig_eff, axis=2)
-        # q wins its candidate slot iff no earlier q' candidates it too
-        same = cand_hit[:, None, :] == cand_hit[None, :, :]   # (Q, Q, P)
-        blocked = jnp.any(
-            same & cand_found[None, :, :] & earlier[:, :, None], axis=1)
-        won = cand_found & ~blocked
-        hit_q = jnp.where(won, cand_hit, hit_q)
-        resolved |= won
-        # won slots leave the eligibility mask for the next pass
-        newly = jnp.any(
-            won[..., None] & (h_iota[None, None, :] == cand_hit[..., None]),
-            axis=0)                                           # (P, Hp)
-        elig &= ~newly[None]
-    found_q = resolved
+        hit_q, found_q = claim_select(
+            slot_col, prog, chunk_q, off_q, real_q, C=C, dpp=dpp)
+    else:
+        prog_set = prog != dpp                         # (P, Hp)
+        prog_chunk = (prog // C).astype(jnp.int32)
+        col_all = slot_col[p_ix2, chunk_q]             # (Q, P, Hp) off-dtype
+        elig = (col_all == off_q[..., None].astype(col_all.dtype)) & (
+            ~prog_set[None] | (prog_chunk[None] != chunk_q[..., None]))
+        elig &= real_q[..., None]
+
+        # Scatter-free repair loop: TPU scatters whose indices may collide
+        # (the old claim/taken .at[] updates) lower to SERIALIZED per-row
+        # updates — ~1.5k sequential writes per op was the dominant per-step
+        # cost of the fused search. The same first-q-wins semantics falls
+        # out of a (Q, Q, P) comparison and a dense one-hot un-eligibility
+        # mask, all parallel vector ops. Resolves contended slots in pass
+        # priority order (a contested slot can go to a later round); the
+        # Pallas claim kernel is strictly sequential — both satisfy the
+        # protocol, answers are identical either way.
+        _REPAIR = 6
+        q_iota = jnp.arange(Q, dtype=jnp.int32)
+        earlier = q_iota[None, :] < q_iota[:, None]  # [q, q'] = q' before q
+        h_iota = jnp.arange(Hp, dtype=jnp.int32)
+        hit_q = jnp.zeros((Q, P), jnp.int32)
+        resolved = jnp.zeros((Q, P), bool)
+        for _ in range(_REPAIR):
+            elig_eff = elig & ~resolved[..., None]
+            cand_hit = jnp.argmax(elig_eff, axis=2).astype(jnp.int32)
+            cand_found = jnp.any(elig_eff, axis=2)
+            # q wins its candidate slot iff no earlier q' candidates it too
+            same = cand_hit[:, None, :] == cand_hit[None, :, :]  # (Q, Q, P)
+            blocked = jnp.any(
+                same & cand_found[None, :, :] & earlier[:, :, None], axis=1)
+            won = cand_found & ~blocked
+            hit_q = jnp.where(won, cand_hit, hit_q)
+            resolved |= won
+            # won slots leave the eligibility mask for the next pass
+            newly = jnp.any(
+                won[..., None]
+                & (h_iota[None, None, :] == cand_hit[..., None]),
+                axis=0)                                       # (P, Hp)
+            elig &= ~newly[None]
+        found_q = resolved
 
     # ---- budgets, assigned by round order
     chunk_oh = found_q[..., None] & (
@@ -242,7 +277,7 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
 
 
 def _pir_finish(repl_val, bpar, table, carry, sel, resp,
-                *, C, R, Hp, S, k, dpp):
+                *, C, R, Hp, S, k, dpp, route=None):
     """Client-side unmask + Phase C refresh given the server response
     resp (Q, P, k*128) u32 (pir.go:451-468)."""
     tag, prog, ppar, slot_col, hist, finished = carry
@@ -272,7 +307,16 @@ def _pir_finish(repl_val, bpar, table, carry, sel, resp,
     upd = jnp.any(m3, axis=0)                            # (P, Hp)
     src = jnp.argmax(m3, axis=0).astype(jnp.int32)       # (P, Hp) -> q
     p_grid = jnp.broadcast_to(jnp.arange(P)[:, None], (P, Hp))
-    ppar = jnp.where(upd[..., None], new_par[src, p_grid], ppar)
+    if _resolve_route(route) == "pallas":
+        # one Pallas program: stream each partition's parity block through
+        # VMEM and store the refreshed rows in place — drops the (P, Hp,
+        # Ep) gather + full-array select below (the finish phase's
+        # dominant traffic + kernel count).
+        from pacmann_tpu.ops.protocol_kernels import refresh_parity
+
+        ppar = refresh_parity(ppar, new_par, hit_v, ok_q)
+    else:
+        ppar = jnp.where(upd[..., None], new_par[src, p_grid], ppar)
     tag = jnp.where(upd, btag[src, p_grid], tag)
     prog = jnp.where(upd, idxu_q[src, p_grid], prog)
     # refresh the cached PRF columns of the consumed slots (table-free
@@ -295,7 +339,8 @@ def _pir_finish(repl_val, bpar, table, carry, sel, resp,
 
 
 def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
-               idx_q, rnd_q, *, C, R, Hp, S, k, max_q, dpp, masks=None):
+               idx_q, rnd_q, *, C, R, Hp, S, k, max_q, dpp, masks=None,
+               route=None):
     """Serve Q sub-queries per partition as a TWO-PHASE batched program.
 
     Per-round device work must not pay one deep op-chain per round (the
@@ -336,13 +381,14 @@ def _pir_batch(db, table, repl_idx, repl_val, bpar, carry,
     Q, P = idx_q.shape
     sel, qs = _pir_select(table, repl_idx, carry, idx_q, rnd_q,
                           C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp,
-                          masks=masks)
+                          masks=masks, route=route)
     resp = xor_server_scan(db, qs, k).reshape(Q, P, Ep)
     return _pir_finish(repl_val, bpar, table, carry, sel, resp,
-                       C=C, R=R, Hp=Hp, S=S, k=k, dpp=dpp)
+                       C=C, R=R, Hp=Hp, S=S, k=k, dpp=dpp, route=route)
 
 
-def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
+def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp,
+                 route=None):
     """One batch: idx_q (Q, P) i32 local indices (-1 = dummy), rand_offs
     (Q, P, S) u32 dummy offsets. Returns (state', entries (Q, P, k*128),
     ok (Q, P)). Pure per-partition compute — shard_map-able on the
@@ -353,7 +399,7 @@ def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
         db, state.get("table"), state["repl_idx"],
         state["repl_val"], state["backup_parity"], carry, idx_q, rand_offs,
         C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp,
-        masks=state.get("masks"))
+        masks=state.get("masks"), route=route)
     tag, prog, ppar, slot_col, hist, finished = carry
     new_state = dict(state, tag=tag, prog=prog, primary_parity=ppar,
                      slot_col=slot_col, hist=hist, finished=finished)
@@ -362,7 +408,7 @@ def _online_core(db, state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
 
 _online_step = functools.partial(
     jax.jit,
-    static_argnames=("C", "R", "Hp", "S", "k", "max_q", "dpp"),
+    static_argnames=("C", "R", "Hp", "S", "k", "max_q", "dpp", "route"),
     donate_argnames=("state",),
 )(_online_core)
 
@@ -372,13 +418,16 @@ _online_step = functools.partial(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "R", "Hp", "S", "k", "max_q", "dpp"))
-def _select_step(state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp):
+    jax.jit,
+    static_argnames=("C", "R", "Hp", "S", "k", "max_q", "dpp", "route"))
+def _select_step(state, idx_q, rand_offs, *, C, R, Hp, S, k, max_q, dpp,
+                 route=None):
     carry = (state["tag"], state["prog"], state["primary_parity"],
              state["slot_col"], state["hist"], state["finished"])
     return _pir_select(state.get("table"), state["repl_idx"], carry, idx_q,
                        rand_offs, C=C, R=R, Hp=Hp, S=S, k=k,
-                       max_q=max_q, dpp=dpp, masks=state.get("masks"))
+                       max_q=max_q, dpp=dpp, masks=state.get("masks"),
+                       route=route)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -392,14 +441,14 @@ def _server_answer(db, qs, *, k):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "R", "Hp", "S", "k", "dpp"),
+    jax.jit, static_argnames=("C", "R", "Hp", "S", "k", "dpp", "route"),
     donate_argnames=("state",))
-def _finish_step(state, sel, resp, *, C, R, Hp, S, k, dpp):
+def _finish_step(state, sel, resp, *, C, R, Hp, S, k, dpp, route=None):
     carry = (state["tag"], state["prog"], state["primary_parity"],
              state["slot_col"], state["hist"], state["finished"])
     carry, entries, oks = _pir_finish(
         state["repl_val"], state["backup_parity"], state.get("table"),
-        carry, sel, resp, C=C, R=R, Hp=Hp, S=S, k=k, dpp=dpp)
+        carry, sel, resp, C=C, R=R, Hp=Hp, S=S, k=k, dpp=dpp, route=route)
     tag, prog, ppar, slot_col, hist, finished = carry
     new_state = dict(state, tag=tag, prog=prog, primary_parity=ppar,
                      slot_col=slot_col, hist=hist, finished=finished)
@@ -431,7 +480,8 @@ class DevicePianoEngine:
     def __init__(self, db_size: int, entry_bytes: int, batch_size: int,
                  raw: np.ndarray, failure_prob_log2: int,
                  verbose: bool = False, measure_comm: bool = False,
-                 table_free: bool = False):
+                 table_free: bool = False,
+                 kernel_route: str | None = None):
         """measure_comm: run each batch through the split client->server->
         client pipeline instead of the fused program, materializing the
         observable messages (offset upload, entry download) on the host
@@ -443,7 +493,11 @@ class DevicePianoEngine:
         bitsliced AES circuit inside every batch — the reference's client
         storage model (pir.go:404-427). Bit-identical answers; trades
         ~1-2 ms/batch of MXU-free vector work for O(table) client memory
-        (the dominant extra-state line, ~4.4 GB at the SIFT100M tier)."""
+        (the dominant extra-state line, ~4.4 GB at the SIFT100M tier).
+
+        kernel_route: None = auto (the Pallas client-protocol kernels on
+        TPU, dense XLA elsewhere); "pallas"/"xla" force a path (tests run
+        the kernels interpreted off-TPU this way)."""
         entry_u32 = entry_bytes // 4
         raw = raw.reshape(db_size, entry_u32)
         self.config = derive_batch_params(
@@ -463,6 +517,7 @@ class DevicePianoEngine:
         self.db = self._pack_db(raw)
         self.state = None
         self.table_free = table_free
+        self.kernel_route = kernel_route
         self.cache: dict[int, np.ndarray] = {}
         self._rng = np.random.default_rng()
 
@@ -657,7 +712,8 @@ class DevicePianoEngine:
             self.db, self.state, idx_q, rand_offs,
             C=p.chunk_size, R=p.max_query_per_chunk,
             Hp=p.primary_hint_num, S=p.set_size, k=self.k,
-            max_q=p.max_query_num, dpp=DEFAULT_PROGRAM_POINT)
+            max_q=p.max_query_num, dpp=DEFAULT_PROGRAM_POINT,
+            route=self.kernel_route)
 
     def _online_measured(self, idx_q, rand_offs):
         """The same batch, split at the observable protocol messages: the
@@ -666,7 +722,7 @@ class DevicePianoEngine:
         p = self.params
         kw = dict(C=p.chunk_size, R=p.max_query_per_chunk,
                   Hp=p.primary_hint_num, S=p.set_size, k=self.k,
-                  dpp=DEFAULT_PROGRAM_POINT)
+                  dpp=DEFAULT_PROGRAM_POINT, route=self.kernel_route)
         sel, qs = _select_step(self.state, idx_q, rand_offs,
                                max_q=p.max_query_num, **kw)
         # client -> server: the offset vectors, materialized on the host

@@ -182,5 +182,6 @@ class ShardedPianoEngine(DevicePianoEngine):
             self._sharded_step = self._make_sharded_step(dict(
                 C=p.chunk_size, R=p.max_query_per_chunk,
                 Hp=p.primary_hint_num, S=p.set_size, k=self.k,
-                max_q=p.max_query_num, dpp=DEFAULT_PROGRAM_POINT))
+                max_q=p.max_query_num, dpp=DEFAULT_PROGRAM_POINT,
+                route=self.kernel_route))
         return self._sharded_step(self.db, self.state, idx_q, rand_offs)

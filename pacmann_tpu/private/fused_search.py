@@ -100,12 +100,12 @@ def _seed_beam(queries, start_ids, start_vecs, start_nbrs, *,
 @functools.partial(
     jax.jit,
     static_argnames=("psize", "C", "R", "Hp", "S", "k", "max_q", "dpp",
-                     "dim", "m", "P", "parallel", "quota", "n"),
+                     "dim", "m", "P", "parallel", "quota", "n", "route"),
     donate_argnames=("pir_state", "beam"),
 )
 def _fused_segment(db, pir_state, beam, queries, keys, base, n_steps,
                    *, psize, C, R, Hp, S, k, max_q, dpp, dim, m, P,
-                   parallel, quota, n):
+                   parallel, quota, n, route=None):
     """Run beam+PIR steps [base, base + n_steps) of a max_step search.
 
     The scan's PHYSICAL length is fixed at max_step (= keys.shape[0]) while
@@ -182,7 +182,7 @@ def _fused_segment(db, pir_state, beam, queries, keys, base, n_steps,
             pir_state["repl_idx"], pir_state["repl_val"], bpar,
             pir_carry, idx_q, rnd,
             C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp,
-            masks=pir_state.get("masks"))
+            masks=pir_state.get("masks"), route=route)
         entries_flat = jnp.concatenate(
             [entries.reshape(quota * P, Ep),
              jnp.zeros((1, Ep), jnp.uint32)])
@@ -382,7 +382,8 @@ class FusedPrivateSearch:
                   R=p.max_query_per_chunk, Hp=p.primary_hint_num,
                   S=p.set_size, k=e.k, max_q=p.max_query_num,
                   dpp=DEFAULT_PROGRAM_POINT, dim=self.dim, m=self.m, P=P,
-                  parallel=parallel, quota=quota, n=self.n)
+                  parallel=parallel, quota=quota, n=self.n,
+                  route=e.kernel_route)
         queries_d = jnp.asarray(queries, jnp.float32)
         self.last_maintenance_s = 0.0
         seg_stats = []

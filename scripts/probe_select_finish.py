@@ -87,35 +87,43 @@ def main():
         print(f"{tag}: {dt*1000:.2f} ms/step", flush=True)
         return dt
 
-    # S1: select only (mutate a cheap carry leaf so the scan isn't constant)
-    def sel_only(state, carry, idx, rnd, db):
-        sel, qs = _pir_select(state["table"], state["repl_idx"], carry,
-                              idx, rnd, **kw)
-        tag_, prog, ppar, slot_col, hist, fin = carry
-        fin = fin + qs[0, :, 0].astype(jnp.int32) + sel[0][0]
-        return (tag_, prog, ppar, slot_col, hist, fin)
+    # measure both client-protocol routes: "xla" (dense repair + gather
+    # refresh) vs "pallas" (sequential claim kernel + in-place parity
+    # store, ops/protocol_kernels.py)
+    for route in ("xla", "pallas"):
+        kwr = dict(kw, route=route)
 
-    # S2: select + MM server scan
-    def sel_scan(state, carry, idx, rnd, db):
-        sel, qs = _pir_select(state["table"], state["repl_idx"], carry,
-                              idx, rnd, **kw)
-        resp = xor_server_scan(db, qs, eng.k).reshape(Q, P, eng.k * 128)
-        tag_, prog, ppar, slot_col, hist, fin = carry
-        fin = fin + resp[0, :, 0].astype(jnp.int32) + sel[0][0]
-        return (tag_, prog, ppar, slot_col, hist, fin)
+        # S1: select only (mutate a cheap carry leaf so the scan isn't
+        # constant)
+        def sel_only(state, carry, idx, rnd, db):
+            sel, qs = _pir_select(state["table"], state["repl_idx"], carry,
+                                  idx, rnd, **kwr)
+            tag_, prog, ppar, slot_col, hist, fin = carry
+            fin = fin + qs[0, :, 0].astype(jnp.int32) + sel[0][0]
+            return (tag_, prog, ppar, slot_col, hist, fin)
 
-    # S3: the full batch (select + scan + finish)
-    def full(state, carry, idx, rnd, db):
-        carry, entries, oks = _pir_batch(
-            db, state["table"], state["repl_idx"], state["repl_val"],
-            state["backup_parity"], carry, idx, rnd, **kw)
-        return carry
+        # S2: select + MM server scan
+        def sel_scan(state, carry, idx, rnd, db):
+            sel, qs = _pir_select(state["table"], state["repl_idx"], carry,
+                                  idx, rnd, **kwr)
+            resp = xor_server_scan(db, qs, eng.k).reshape(Q, P, eng.k * 128)
+            tag_, prog, ppar, slot_col, hist, fin = carry
+            fin = fin + resp[0, :, 0].astype(jnp.int32) + sel[0][0]
+            return (tag_, prog, ppar, slot_col, hist, fin)
 
-    t1 = scan_probe(sel_only, "S1 select")
-    t2 = scan_probe(sel_scan, "S2 select+scan")
-    t3 = scan_probe(full, "S3 full batch")
-    print(f"split: select {t1*1000:.2f} | scan {(t2-t1)*1000:.2f} | "
-          f"finish {(t3-t2)*1000:.2f} ms/step", flush=True)
+        # S3: the full batch (select + scan + finish)
+        def full(state, carry, idx, rnd, db):
+            carry, entries, oks = _pir_batch(
+                db, state["table"], state["repl_idx"], state["repl_val"],
+                state["backup_parity"], carry, idx, rnd, **kwr)
+            return carry
+
+        t1 = scan_probe(sel_only, f"S1 select [{route}]")
+        t2 = scan_probe(sel_scan, f"S2 select+scan [{route}]")
+        t3 = scan_probe(full, f"S3 full batch [{route}]")
+        print(f"split [{route}]: select {t1*1000:.2f} | "
+              f"scan {(t2-t1)*1000:.2f} | "
+              f"finish {(t3-t2)*1000:.2f} ms/step", flush=True)
 
     # S4: table-free client cost — the per-step PRF evaluations that
     # replace every (T, S)-table / slot_col read (VERDICT r2 task 5,

@@ -1,0 +1,123 @@
+"""Pallas client-protocol kernels vs their NumPy semantic twins
+(interpret mode off-TPU), plus engine-level exactness with the kernels
+routed in."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pacmann_tpu.ops.protocol_kernels import (
+    claim_select, claim_select_np, refresh_parity, refresh_parity_np)
+
+
+def _rand_claim_case(rng, Q, P, S, Hp, C, contention=False):
+    dpp = 0x7FFFFFFF
+    slot_col = rng.integers(0, C, size=(P, S, Hp)).astype(np.uint16)
+    prog = rng.integers(0, S * C, size=(P, Hp)).astype(np.uint32)
+    unset = rng.random((P, Hp)) < 0.5
+    prog[unset] = dpp
+    if contention:
+        # every round asks the same (chunk, offset): all rounds contest
+        # one eligible slot set per partition
+        chunk_q = np.full((Q, P), rng.integers(0, S), np.int32)
+        off_q = np.full((Q, P), rng.integers(0, C), np.uint32)
+    else:
+        chunk_q = rng.integers(0, S, size=(Q, P)).astype(np.int32)
+        off_q = rng.integers(0, C, size=(Q, P)).astype(np.uint32)
+    real_q = rng.random((Q, P)) < 0.9
+    return slot_col, prog, chunk_q, off_q, real_q, dpp
+
+
+def test_claim_select_matches_numpy_twin():
+    rng = np.random.default_rng(7)
+    for Q, P, S, Hp, C in [(16, 4, 8, 480, 32),    # Hp % 128 != 0 (pad path)
+                           (8, 2, 4, 256, 64),
+                           (24, 3, 5, 896, 128)]:
+        for contention in (False, True):
+            slot_col, prog, chunk_q, off_q, real_q, dpp = _rand_claim_case(
+                rng, Q, P, S, Hp, C, contention)
+            hit, found = claim_select(
+                jnp.asarray(slot_col), jnp.asarray(prog),
+                jnp.asarray(chunk_q), jnp.asarray(off_q),
+                jnp.asarray(real_q), C=C, dpp=dpp)
+            hit_np, found_np = claim_select_np(
+                slot_col, prog, chunk_q, off_q, real_q, C=C, dpp=dpp)
+            assert np.array_equal(np.asarray(found), found_np), (
+                Q, P, S, Hp, C, contention)
+            assert np.array_equal(np.asarray(hit), hit_np), (
+                Q, P, S, Hp, C, contention)
+
+
+def test_claim_select_claims_are_unique():
+    rng = np.random.default_rng(8)
+    slot_col, prog, chunk_q, off_q, real_q, dpp = _rand_claim_case(
+        rng, 32, 2, 4, 256, 16, contention=True)
+    hit, found = claim_select(
+        jnp.asarray(slot_col), jnp.asarray(prog), jnp.asarray(chunk_q),
+        jnp.asarray(off_q), jnp.asarray(real_q), C=16, dpp=dpp)
+    hit, found = np.asarray(hit), np.asarray(found)
+    for p in range(2):
+        taken = hit[found[:, p], p]
+        assert len(set(taken.tolist())) == len(taken)
+
+
+def test_refresh_parity_matches_numpy_twin():
+    rng = np.random.default_rng(9)
+    for Q, P, Hp, Ep in [(16, 4, 480, 128),        # Hp % 8 == 0, odd split
+                         (8, 2, 896, 256),
+                         (12, 3, 64, 128)]:
+        ppar = rng.integers(0, 2**32, size=(P, Hp, Ep), dtype=np.uint32)
+        new_par = rng.integers(0, 2**32, size=(Q, P, Ep), dtype=np.uint32)
+        # unique hit slots per partition (the claim invariant)
+        hit = np.stack(
+            [rng.choice(Hp, size=Q, replace=False) for _ in range(P)],
+            axis=1).astype(np.int32)
+        ok = rng.random((Q, P)) < 0.7
+        out = refresh_parity(jnp.asarray(ppar), jnp.asarray(new_par),
+                             jnp.asarray(hit), jnp.asarray(ok))
+        ref = refresh_parity_np(ppar, new_par, hit, ok)
+        assert np.array_equal(np.asarray(out), ref), (Q, P, Hp, Ep)
+
+
+def test_engine_exact_with_pallas_route():
+    """Full engine answers stay exact with both protocol kernels routed in
+    (interpret mode): the kernel path is protocol-equivalent to the XLA
+    path even where contended slot choices differ."""
+    from pacmann_tpu.pir.device_engine import DevicePianoEngine
+
+    rng = np.random.default_rng(10)
+    n, entry_bytes, batch = 8192, 32, 32
+    raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    pir = DevicePianoEngine(n, entry_bytes, batch, raw, 20,
+                            kernel_route="pallas")
+    pir.preprocessing(rng=np.random.default_rng(100))
+    c = pir.config
+    for _ in range(3):
+        ids = [int(i * c.partition_size + rng.integers(0, c.partition_size))
+               for i in range(c.partition_num)] * 2
+        out = pir.query(ids)
+        for r, idx in enumerate(ids):
+            assert np.array_equal(out[r], raw[idx]), (r, idx)
+
+
+def test_engine_state_identical_across_routes_when_uncontended():
+    """With spread queries (no slot contention) the pallas and xla routes
+    pick identical slots, so the full client state evolves identically."""
+    from pacmann_tpu.pir.device_engine import DevicePianoEngine
+
+    rng = np.random.default_rng(11)
+    n, entry_bytes, batch = 8192, 32, 32
+    raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    engines = []
+    for route in ("xla", "pallas"):
+        pir = DevicePianoEngine(n, entry_bytes, batch, raw, 20,
+                                kernel_route=route)
+        pir.preprocessing(rng=np.random.default_rng(100))
+        ids = [int(i * pir.config.partition_size + 7)
+               for i in range(pir.config.partition_num)]
+        pir.query(ids)
+        engines.append(pir)
+    a, b = engines
+    for key in ("tag", "prog", "primary_parity", "slot_col", "hist",
+                "finished"):
+        assert np.array_equal(np.asarray(a.state[key]),
+                              np.asarray(b.state[key])), key
