@@ -103,14 +103,23 @@ def _prep_fused(db4, masks, repl_off, *, T: int, S: int, C: int, Hp: int,
 
     P = masks.shape[0]
     Ep = k * 128
-    # lax.map, not a Python unroll: the bitsliced AES circuit is by far
-    # the largest subgraph here, and P unrolled copies made the offline
-    # program's HLO (and its remote compile, ~350 s at SIFT1M) P times
-    # bigger. map keeps ONE copy (same sequential execution, same small
-    # working set) and compiles ~P times less AES.
-    table = jax.lax.map(
-        lambda mk: aes._prf_table_on_device(mk, T, S, chunk_mask),
-        masks)                                           # (P, T, S) u32
+    if _resolve_aes_route() == "pallas":
+        # one Pallas program: all rounds' bit planes stay in VMEM. The XLA
+        # circuit's intermediates round-trip HBM between fusions, holding
+        # table generation ~20x below the VPU bound (the dominant term of
+        # the refresh floor; RESULTS.md).
+        from pacmann_tpu.ops.aes_pallas import prf_tables_pallas
+
+        table = prf_tables_pallas(masks, T, S, chunk_mask)
+    else:
+        # lax.map, not a Python unroll: the bitsliced AES circuit is by
+        # far the largest subgraph here, and P unrolled copies made the
+        # offline program's HLO (and its remote compile, ~350 s at SIFT1M)
+        # P times bigger. map keeps ONE copy (same sequential execution,
+        # same small working set) and compiles ~P times less AES.
+        table = jax.lax.map(
+            lambda mk: aes._prf_table_on_device(mk, T, S, chunk_mask),
+            masks)                                       # (P, T, S) u32
     skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
     parities = xor_hintgen_mm(db4, table, skip, k)       # (P, T, Ep)
     repl_val = _gather_repl(db4, repl_off, k=k, Ep=Ep)   # (P, S, R, Ep)
@@ -143,6 +152,24 @@ def _resolve_route(route):
 # The validated default. "xla" until the Pallas protocol kernels have a
 # measured win on real TPU hardware; then "auto".
 _DEFAULT_ROUTE = "xla"
+
+
+def _resolve_aes_route():
+    """Offline PRF-table kernel routing: $PACMANN_AES_ROUTE or
+    _DEFAULT_AES_ROUTE; "auto" = the Pallas bitsliced-AES kernel on TPU,
+    the XLA circuit elsewhere. Trace-time, like _resolve_route."""
+    import os
+
+    route = os.environ.get("PACMANN_AES_ROUTE", _DEFAULT_AES_ROUTE)
+    if route == "auto":
+        from pacmann_tpu.utils.platform import on_tpu
+
+        return "pallas" if on_tpu() else "xla"
+    return route
+
+
+# "xla" until the Pallas AES kernel is validated on real TPU hardware.
+_DEFAULT_AES_ROUTE = "xla"
 
 
 def _pir_select(table, repl_idx, carry, idx_q, rnd_q,

@@ -1,0 +1,69 @@
+"""Pallas bitsliced AES: circuit correctness via the XLA twin (the
+interpret-mode pallas path pays a multi-minute compile, so it is opt-in),
+plus the perm-primitive equivalence that makes twin coverage transfer to
+the kernel."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from pacmann_tpu.ops import aes
+from pacmann_tpu.ops.aes_pallas import (
+    _perm_concat, _perm_take, masks_to_mask16, prf_tables_bytefirst_xla,
+    prf_tables_pallas)
+from pacmann_tpu.ops.aes import _SHIFT_ROWS, _ROT1, _ROT2, _ROT3
+
+
+def test_perm_primitives_equivalent():
+    """The kernel's concat-based byte permutation == the twin's gather."""
+    rng = np.random.default_rng(1)
+    plane = jnp.asarray(
+        rng.integers(0, 2**32, size=(16, 8, 128), dtype=np.uint32))
+    for perm in (_SHIFT_ROWS, _ROT1, _ROT2, _ROT3):
+        assert np.array_equal(np.asarray(_perm_concat(plane, perm)),
+                              np.asarray(_perm_take(plane, perm))), perm
+
+
+def test_masks_to_mask16_roundtrip():
+    rng = np.random.default_rng(2)
+    keys = [rng.bytes(16) for _ in range(3)]
+    masks = np.stack([aes.expand_key_planes(k) for k in keys])
+    m16 = np.asarray(masks_to_mask16(jnp.asarray(masks)))
+    # bit j of m16[p, r, b] == plane mask bit for byte j
+    bits = (masks & 1).astype(np.uint32)
+    ref = np.zeros(m16.shape, np.uint32)
+    for j in range(16):
+        ref |= bits[..., j] << j
+    assert np.array_equal(m16, ref)
+
+
+def test_circuit_twin_matches_host_oracle():
+    """The byte-leading circuit (shared verbatim with the Pallas kernel,
+    modulo the tested perm primitive) is bit-exact against the
+    FIPS-validated host AES oracle on the PRF table lattice."""
+    rng = np.random.default_rng(3)
+    keys = [rng.bytes(16) for _ in range(2)]
+    T, S, cm = 40, 12, 31
+    masks = jnp.asarray(np.stack([aes.expand_key_planes(k) for k in keys]))
+    out = np.asarray(prf_tables_bytefirst_xla(masks, T, S, cm))
+    ref = np.stack([
+        np.asarray(aes.prf_offset_table_device(k, T, S, cm)) for k in keys])
+    assert np.array_equal(out, ref)
+
+
+def test_prf_tables_pallas_interpret_slow():
+    """Full pallas-call path under the interpreter (opt-in: the interpret
+    compile of the 10-round kernel takes minutes on CPU)."""
+    if not os.environ.get("PACMANN_SLOW_TESTS"):
+        import pytest
+
+        pytest.skip("set PACMANN_SLOW_TESTS=1 to run")
+    rng = np.random.default_rng(4)
+    keys = [rng.bytes(16) for _ in range(2)]
+    T, S, cm = 40, 12, 31
+    masks = jnp.asarray(np.stack([aes.expand_key_planes(k) for k in keys]))
+    out = np.asarray(prf_tables_pallas(masks, T, S, cm))
+    ref = np.stack([
+        np.asarray(aes.prf_offset_table_device(k, T, S, cm)) for k in keys])
+    assert np.array_equal(out, ref)
