@@ -143,6 +143,40 @@ def _aes_mmo_low32_blocks(m16, s0, *, ws: int, interpret: bool):
     )(m16, s0)
 
 
+def _aes_mmo_kernel_perp(m16_ref, s0_ref, out_ref):
+    """Per-partition-input variant: s0 block (1, 8, 16, ws, 128) — each
+    partition evaluates its own lane block (the table-free online PRF,
+    where tags/xs differ per partition)."""
+    s0 = [s0_ref[0, b] for b in range(8)]
+    out = _mmo_low32_planes(s0, lambda r, b: m16_ref[0, r, b], _perm_concat)
+    for b in range(8):
+        out_ref[0, b] = out[b]
+
+
+@functools.partial(jax.jit, static_argnames=("ws", "interpret"))
+def _aes_mmo_low32_blocks_perp(m16, s0, *, ws: int, interpret: bool):
+    """m16 (P, 11, 8) u32; s0 (P, 8, 16, Ls, 128) u32 per-partition input
+    planes. Returns (P, 8, 4, Ls, 128) u32 low-word output planes."""
+    P = m16.shape[0]
+    Ls = s0.shape[3]
+    nb = Ls // ws
+    return pl.pallas_call(
+        _aes_mmo_kernel_perp,
+        out_shape=jax.ShapeDtypeStruct((P, 8, 4, Ls, 128), jnp.uint32),
+        grid=(P, nb),
+        in_specs=[
+            pl.BlockSpec((1, 11, 8), lambda p, ib: (p, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 16, ws, 128), lambda p, ib: (p, 0, 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 4, ws, 128),
+                               lambda p, ib: (p, 0, 0, ib, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(m16, s0)
+
+
 def _kernel_ws() -> int:
     """Lane-block sublanes: 8 keeps the live bit-plane set (~50 values of
     16x8x128 u32 = ~3 MB) comfortably inside VMEM."""
@@ -213,3 +247,33 @@ def prf_tables_bytefirst_xla(masks, T: int, S: int, chunk_mask: int):
         outs.append(jnp.concatenate(blocks, axis=2))
     out = jnp.stack(outs)                     # (P, 8, 4, Ls, 128)
     return _unpack_tables(out, P, T, S, pad, chunk_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def prf_eval_fused_pallas(masks, tags, xs, chunk_mask,
+                          interpret: bool | None = None):
+    """Pallas twin of aes.prf_eval_fused: out[p, l] = PRF_p(tags[p, l],
+    xs[p, l]) & chunk_mask, per-partition keys, one kernel. masks
+    (P, 11, 8, 16); tags/xs (P, L0) u32. The table-free client's online
+    primitive (pir.go:404-427)."""
+    if interpret is None:
+        interpret = default_interpret()
+    P, L0 = tags.shape
+    ws = _kernel_ws()
+    lane_pad = 32 * ws * 128
+    L = -(-L0 // lane_pad) * lane_pad
+    if L != L0:
+        tags = jnp.pad(tags, ((0, 0), (0, L - L0)))
+        xs = jnp.pad(xs, ((0, 0), (0, L - L0)))
+    lo = xs.reshape(-1)
+    hi = (tags << jnp.uint32(3)).reshape(-1)
+    zeros = jnp.zeros_like(lo)
+    s0 = aes_ops._pack_words([lo, hi, zeros, zeros])    # (8, 16, P*L/32)
+    Ls = L // 32 // 128
+    s0 = jnp.transpose(s0.reshape(8, 16, P, Ls, 128), (2, 0, 1, 3, 4))
+    m16 = masks_to_mask16(masks)
+    out = _aes_mmo_low32_blocks_perp(m16, s0, ws=ws, interpret=interpret)
+    blk = out.reshape(P, 8, 4, L // 32)                 # (P, 8b, 4j, W)
+    arr = jnp.transpose(blk, (0, 3, 2, 1)).reshape(-1, 32)
+    vals = aes_ops.transpose32(arr).reshape(P, L)[:, :L0]
+    return vals & jnp.uint32(chunk_mask)

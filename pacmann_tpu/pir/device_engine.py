@@ -284,7 +284,12 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
         xsl = jnp.broadcast_to(
             jnp.arange(S, dtype=jnp.uint32)[None, None, None, :],
             (P, 2, Q, S)).reshape(P, 2 * Q * S)
-        vals = aes.prf_eval_fused(masks, tg, xsl, C - 1)
+        if _resolve_aes_route() == "pallas":
+            from pacmann_tpu.ops.aes_pallas import prf_eval_fused_pallas
+
+            vals = prf_eval_fused_pallas(masks, tg, xsl, C - 1)
+        else:
+            vals = aes.prf_eval_fused(masks, tg, xsl, C - 1)
         vals = vals.reshape(P, 2, Q, S)
         qs = jnp.transpose(vals[:, 0], (1, 0, 2))        # (Q, P, S)
         new_col = jnp.transpose(vals[:, 1], (1, 0, 2))   # (Q, P, S)

@@ -61,6 +61,34 @@ def main():
     c = timed("C pallas", lambda: prf_tables_pallas(masks, T, S, cm))
     print("A == C:", np.array_equal(a, c), flush=True)
 
+    # table-free online PRF at the per-step shape (2 sheets of (Q, S) per
+    # partition): xla circuit vs the pallas kernel
+    from pacmann_tpu.ops import aes as aes_ops
+    from pacmann_tpu.ops.aes_pallas import prf_eval_fused_pallas
+
+    Q = 96
+    L0 = 2 * Q * S
+    tags = jnp.asarray(rng.integers(0, T, size=(P, L0), dtype=np.uint32))
+    xsv = jnp.asarray(rng.integers(0, S, size=(P, L0), dtype=np.uint32))
+
+    def timed2(tag, fn):
+        out = fn()
+        _ = np.asarray(out[-1, -1])
+        best = np.inf
+        for _i in range(5):
+            t0 = time.perf_counter()
+            out = fn()
+            _ = np.asarray(out[-1, -1])
+            best = min(best, time.perf_counter() - t0)
+        print(f"{tag}: warm {best*1000:.2f} ms", flush=True)
+        return np.asarray(out)
+
+    d = timed2("D step-PRF xla", lambda: aes_ops.prf_eval_fused(
+        masks, tags, xsv, cm))
+    e = timed2("E step-PRF pallas", lambda: prf_eval_fused_pallas(
+        masks, tags, xsv, cm))
+    print("D == E:", np.array_equal(d, e), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -67,3 +67,47 @@ def test_prf_tables_pallas_interpret_slow():
     ref = np.stack([
         np.asarray(aes.prf_offset_table_device(k, T, S, cm)) for k in keys])
     assert np.array_equal(out, ref)
+
+
+def test_prf_eval_fused_pallas_plumbing():
+    """prf_eval_fused_pallas's packing/padding/unpacking plumbing, with the
+    kernel body swapped for the XLA-twin circuit (the kernel's own
+    correctness is pinned by test_circuit_twin_matches_host_oracle +
+    test_perm_primitives_equivalent). Compared against the validated
+    aes.prf_eval_fused."""
+    import jax.numpy as jnp2
+    from pacmann_tpu.ops import aes_pallas
+    from pacmann_tpu.ops.aes_pallas import (
+        _mmo_low32_planes, _perm_take, prf_eval_fused_pallas)
+
+    def twin_blocks(m16, s0, *, ws, interpret):
+        P, _, _, Ls, _ = s0.shape
+        outs = []
+        for p in range(P):
+            blocks = []
+            for ib in range(Ls // ws):
+                planes = [s0[p, b, :, ib * ws : (ib + 1) * ws]
+                          for b in range(8)]
+                o = _mmo_low32_planes(
+                    planes, lambda r, b: m16[p, r, b], _perm_take)
+                blocks.append(jnp2.stack(o))
+            outs.append(jnp2.concatenate(blocks, axis=2))
+        return jnp2.stack(outs)
+
+    orig = aes_pallas._aes_mmo_low32_blocks_perp
+    aes_pallas._aes_mmo_low32_blocks_perp = twin_blocks
+    try:
+        rng = np.random.default_rng(5)
+        keys = [rng.bytes(16) for _ in range(2)]
+        masks = jnp.asarray(np.stack(
+            [aes.expand_key_planes(k) for k in keys]))
+        P, L0, cm = 2, 100, 63          # L0 % 32 != 0: pad path
+        tags = jnp.asarray(
+            rng.integers(0, 500, size=(P, L0), dtype=np.uint32))
+        xs = jnp.asarray(
+            rng.integers(0, 2**20, size=(P, L0), dtype=np.uint32))
+        out = np.asarray(prf_eval_fused_pallas(masks, tags, xs, cm))
+        ref = np.asarray(aes.prf_eval_fused(masks, tags, xs, cm))
+        assert np.array_equal(out, ref)
+    finally:
+        aes_pallas._aes_mmo_low32_blocks_perp = orig
