@@ -277,6 +277,102 @@ def _hintgen_mm_kernel_s8(off_ref, db_ref, out_ref, *, C: int, bb: int):
     out_ref[0] = out_ref[0] ^ jax.lax.bitcast_convert_type(g, jnp.uint32)
 
 
+def _hintgen_mm_kernel_s8p(off_ref, db_ref, out_ref, *, C: int, bb: int,
+                           sc: int):
+    """Plane-major s8 variant: db_ref (1, sc, 4, C, E) holds byte plane p
+    of chunks [s*sc, (s+1)*sc) PRE-EXTRACTED as signed int8 (see
+    to_plane_major_s8), so the per-grid-step shift/mask/sign-extend chain
+    of _hintgen_mm_kernel_s8 (~16 wide VPU ops — a large share of the
+    ~1 us step at online shapes) disappears; each plane is a static slice
+    straight into the MXU. sc chunks per grid step amortize the
+    fixed per-step grid/DMA bookkeeping."""
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    acc = jax.lax.bitcast_convert_type(out_ref[0], jnp.int32)  # (bb, E)
+    for j in range(sc):
+        offs = off_ref[0, pl.ds(s * sc + j, 1), :]   # (1, bb) i32
+        offm = jnp.broadcast_to(offs, (C, bb))
+        colm = jax.lax.broadcasted_iota(jnp.int32, (C, bb), 0)
+        mt = (offm == colm).astype(jnp.int8)         # (C, bb) one-hot
+        g = jnp.zeros(out_ref.shape[1:], jnp.int32)  # (bb, E)
+        for plane in range(4):
+            gp = jax.lax.dot_general(
+                mt, db_ref[j, 0, plane], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)    # (bb, E) = w or 0
+            g = g | ((gp & jnp.int32(0xFF)) << (8 * plane))
+        acc = acc ^ g
+    out_ref[0] = jax.lax.bitcast_convert_type(acc, jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def to_plane_major_s8(db4, k: int):
+    """(S, P, C*k, 128) u32 chunk-major DB -> (S, P, 4, C, E) s8 byte
+    planes (plane p = byte p of each u32, sign-reinterpreted). One-time
+    layout for the plane-major MM kernels; same total bytes as db4."""
+    S, P, CK, _ = db4.shape
+    C = CK // k
+    E = k * 128
+    x = jax.lax.bitcast_convert_type(
+        db4.reshape(S, P, C, E), jnp.int32)
+    planes = [
+        jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(
+                jax.lax.shift_right_logical(x, 8 * p) & jnp.int32(0xFF), 24),
+            24).astype(jnp.int8)
+        for p in range(4)
+    ]
+    return jnp.stack(planes, axis=2)                 # (S, P, 4, C, E)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "bb", "sc", "interpret"))
+def _hintgen_mm_s8p_padded(dbp, offsets, C, bb, sc, interpret):
+    """dbp (S, P, 4, C, E) s8; offsets (P, S, Tp) i32 (C = skip),
+    Tp % bb == 0, S % sc == 0. Returns (P, Tp, E) u32."""
+    P, S, Tp = offsets.shape
+    E = dbp.shape[4]
+    grid = (P, Tp // bb, S // sc)
+    kernel = functools.partial(_hintgen_mm_kernel_s8p, C=C, bb=bb, sc=sc)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, Tp, E), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, S, bb), lambda p, hb, s: (p, 0, hb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sc, 1, 4, C, E), lambda p, hb, s: (s, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bb, E), lambda p, hb, s: (p, hb, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(offsets, dbp)
+
+
+def xor_hintgen_mm_s8p(dbp, table, skip, k: int, sc: int = 1,
+                       interpret=None):
+    """One-hot-matmul scan over a plane-major s8 DB (see to_plane_major_s8).
+    Same contract as xor_hintgen_mm: table (P, T, S) u32 offsets, skip
+    (P, T, S) bool -> (P, T, k*128) u32. sc = chunks per grid step."""
+    if interpret is None:
+        interpret = default_interpret()
+    S, P, _, C, E = dbp.shape
+    T = table.shape[1]
+    nblocks = max(1, -(-T // 1024))
+    bb = -(-T // nblocks)
+    bb = -(-bb // 128) * 128
+    Tp = nblocks * bb
+    off = _hintgen_mm_offsets(jnp.asarray(table), jnp.asarray(skip),
+                              C=C, pad_to=Tp)
+    while S % sc:
+        sc -= 1
+    out = _hintgen_mm_s8p_padded(dbp, off, C, bb, sc, interpret)
+    return out[:, :T]
+
+
 _MM_KERNELS = {"bf16": _hintgen_mm_kernel, "s8": _hintgen_mm_kernel_s8}
 
 

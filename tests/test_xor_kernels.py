@@ -124,3 +124,26 @@ def test_server_scan_mm_route_matches_gather():
     # and the auto route off-TPU is the gather path
     auto = np.asarray(xor_server_scan(db4, qs, k))
     assert np.array_equal(auto, want)
+
+
+def test_plane_major_s8_mm_matches_scan_oracle():
+    """xor_hintgen_mm_s8p (plane-major s8 DB, multi-chunk grid steps) is
+    bit-identical to the chunk-streaming scan for every chunks-per-step."""
+    import jax.numpy as jnp
+
+    from pacmann_tpu.ops.xor_scan import (
+        to_plane_major_s8, xor_hintgen_mm_s8p, xor_scan_parts)
+
+    rng = np.random.default_rng(11)
+    S, P, C, k = 6, 3, 16, 2
+    db4 = jnp.asarray(
+        rng.integers(0, 2**32, size=(S, P, C * k, 128), dtype=np.uint32))
+    T = 20
+    table = jnp.asarray(rng.integers(0, C, size=(P, T, S), dtype=np.uint32))
+    skip = jnp.asarray(rng.random((P, T, S)) < 0.3)
+    ref = np.asarray(xor_scan_parts(db4, table, skip, k)).reshape(
+        P, T, k * 128)
+    dbp = to_plane_major_s8(db4, k)
+    for sc in (1, 2, 3, 6):
+        out = np.asarray(xor_hintgen_mm_s8p(dbp, table, skip, k, sc=sc))
+        assert np.array_equal(out, ref), sc
