@@ -255,7 +255,13 @@ def prf_eval_fused_pallas(masks, tags, xs, chunk_mask,
     """Pallas twin of aes.prf_eval_fused: out[p, l] = PRF_p(tags[p, l],
     xs[p, l]) & chunk_mask, per-partition keys, one kernel. masks
     (P, 11, 8, 16); tags/xs (P, L0) u32. The table-free client's online
-    primitive (pir.go:404-427)."""
+    primitive (pir.go:404-427).
+
+    Lane padding is one (ws, 128)-word block = 32768 evals/partition (the
+    kernel's grid granule): ~1.4x the needed work at the SIFT1M step shape
+    (L0 = 2*Q*S = 23808) but up to ~16x at tiny test configs — acceptable
+    because sub-vreg blocks would pad to the same vector-op count anyway
+    (the (16, ws, 128) gates cost ceil(ws/8) sublane tiles regardless)."""
     if interpret is None:
         interpret = default_interpret()
     P, L0 = tags.shape

@@ -318,11 +318,10 @@ def to_plane_major_s8(db4, k: int):
     E = k * 128
     x = jax.lax.bitcast_convert_type(
         db4.reshape(S, P, C, E), jnp.int32)
+    # astype(int8) wraps two's-complement, which IS the sign reinterpretation
     planes = [
-        jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(
-                jax.lax.shift_right_logical(x, 8 * p) & jnp.int32(0xFF), 24),
-            24).astype(jnp.int8)
+        ((jax.lax.shift_right_logical(x, 8 * p) & jnp.int32(0xFF))
+         .astype(jnp.int8))
         for p in range(4)
     ]
     return jnp.stack(planes, axis=2)                 # (S, P, 4, C, E)
@@ -356,19 +355,20 @@ def xor_hintgen_mm_s8p(dbp, table, skip, k: int, sc: int = 1,
                        interpret=None):
     """One-hot-matmul scan over a plane-major s8 DB (see to_plane_major_s8).
     Same contract as xor_hintgen_mm: table (P, T, S) u32 offsets, skip
-    (P, T, S) bool -> (P, T, k*128) u32. sc = chunks per grid step."""
+    (P, T, S) bool -> (P, T, k*128) u32. sc = chunks per grid step and
+    must divide S (no silent adjustment — benchmark labels depend on it)."""
     if interpret is None:
         interpret = default_interpret()
     S, P, _, C, E = dbp.shape
     T = table.shape[1]
+    if S % sc:
+        raise ValueError(f"sc={sc} must divide S={S}")
     nblocks = max(1, -(-T // 1024))
     bb = -(-T // nblocks)
     bb = -(-bb // 128) * 128
     Tp = nblocks * bb
     off = _hintgen_mm_offsets(jnp.asarray(table), jnp.asarray(skip),
                               C=C, pad_to=Tp)
-    while S % sc:
-        sc -= 1
     out = _hintgen_mm_s8p_padded(dbp, off, C, bb, sc, interpret)
     return out[:, :T]
 

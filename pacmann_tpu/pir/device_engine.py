@@ -132,16 +132,18 @@ def _prep_fused(db4, masks, repl_off, *, T: int, S: int, C: int, Hp: int,
     return table, parities, repl_val, slot_col, checksum
 
 
-def _resolve_route(route):
-    """Client-protocol kernel routing, resolved at trace time (pinned per
-    compiled shape, like xor_server_scan's routing).
-
-    None defers to $PACMANN_PROTOCOL_ROUTE, then _DEFAULT_ROUTE. "auto" =
-    the Pallas kernels on TPU, dense XLA elsewhere."""
+def _resolve(route, env_var, default):
+    """Kernel routing, resolved at TRACE time: the decision is baked into
+    the compiled program and pinned per jit-cache entry (shapes + static
+    args), like xor_server_scan's routing. Flipping the env var
+    mid-process does NOT retrace already-compiled shapes — A/B probes must
+    pass explicit route arguments (probe_select_finish does) or use fresh
+    processes. None defers to the env var, then the validated default;
+    "auto" = the Pallas kernel on TPU, the dense-XLA form elsewhere."""
     import os
 
     if route is None:
-        route = os.environ.get("PACMANN_PROTOCOL_ROUTE", _DEFAULT_ROUTE)
+        route = os.environ.get(env_var, default)
     if route == "auto":
         from pacmann_tpu.utils.platform import on_tpu
 
@@ -149,27 +151,20 @@ def _resolve_route(route):
     return route
 
 
-# The validated default. "xla" until the Pallas protocol kernels have a
-# measured win on real TPU hardware; then "auto".
+# Validated defaults: "xla" until the Pallas kernels have a measured win
+# on real TPU hardware; then "auto".
 _DEFAULT_ROUTE = "xla"
+_DEFAULT_AES_ROUTE = "xla"
+
+
+def _resolve_route(route):
+    """Client-protocol (claim/refresh) kernel routing; see _resolve."""
+    return _resolve(route, "PACMANN_PROTOCOL_ROUTE", _DEFAULT_ROUTE)
 
 
 def _resolve_aes_route():
-    """Offline PRF-table kernel routing: $PACMANN_AES_ROUTE or
-    _DEFAULT_AES_ROUTE; "auto" = the Pallas bitsliced-AES kernel on TPU,
-    the XLA circuit elsewhere. Trace-time, like _resolve_route."""
-    import os
-
-    route = os.environ.get("PACMANN_AES_ROUTE", _DEFAULT_AES_ROUTE)
-    if route == "auto":
-        from pacmann_tpu.utils.platform import on_tpu
-
-        return "pallas" if on_tpu() else "xla"
-    return route
-
-
-# "xla" until the Pallas AES kernel is validated on real TPU hardware.
-_DEFAULT_AES_ROUTE = "xla"
+    """Offline/online PRF kernel routing; see _resolve."""
+    return _resolve(None, "PACMANN_AES_ROUTE", _DEFAULT_AES_ROUTE)
 
 
 def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
@@ -527,9 +522,11 @@ class DevicePianoEngine:
         ~1-2 ms/batch of MXU-free vector work for O(table) client memory
         (the dominant extra-state line, ~4.4 GB at the SIFT100M tier).
 
-        kernel_route: None = auto (the Pallas client-protocol kernels on
-        TPU, dense XLA elsewhere); "pallas"/"xla" force a path (tests run
-        the kernels interpreted off-TPU this way)."""
+        kernel_route: client-protocol kernel choice. None defers to
+        $PACMANN_PROTOCOL_ROUTE, then the validated default (currently
+        "xla"); "auto" = the Pallas claim/refresh kernels on TPU, dense
+        XLA elsewhere; "pallas"/"xla" force a path (tests run the kernels
+        interpreted off-TPU this way)."""
         entry_u32 = entry_bytes // 4
         raw = raw.reshape(db_size, entry_u32)
         self.config = derive_batch_params(

@@ -50,13 +50,14 @@ class ShardedPianoEngine(DevicePianoEngine):
 
     def __init__(self, db_size: int, entry_bytes: int, batch_size: int,
                  raw: np.ndarray, failure_prob_log2: int, mesh,
-                 verbose: bool = False, table_free: bool = False):
+                 verbose: bool = False, table_free: bool = False,
+                 kernel_route: str | None = None):
         self.mesh = mesh
         self._sharded_step = None
         self._sharded_prep = None
         super().__init__(db_size, entry_bytes, batch_size, raw,
                          failure_prob_log2, verbose=verbose,
-                         table_free=table_free)
+                         table_free=table_free, kernel_route=kernel_route)
         self._state_sharding = {
             "table": P_(AXIS, None, None),
             "masks": P_(AXIS, None, None, None),

@@ -140,3 +140,22 @@ def test_fused_search_over_sharded_engine_bit_identical():
     assert np.array_equal(out_single, out_shard)
     st = fs_shard.engine.state
     assert "shard" in str(st["primary_parity"].sharding.spec)
+
+
+def test_sharded_engine_pallas_route_exact():
+    """The Pallas claim/refresh kernels work under shard_map on the
+    partition axis (interpret mode off-TPU): per-shard grid sizes come
+    from the shard shapes, answers stay exact."""
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(73)
+    n, eb, batch = 8192, 32, 32
+    raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    pir = ShardedPianoEngine(n, eb, batch, raw, 20, mesh,
+                             kernel_route="pallas")
+    pir.preprocessing(rng=np.random.default_rng(102))
+    c = pir.config
+    ids = [int(i * c.partition_size + rng.integers(0, c.partition_size))
+           for i in range(c.partition_num)]
+    out = pir.query(ids)
+    for r, idx in enumerate(ids):
+        assert np.array_equal(out[r], raw[idx]), f"row {r} idx {idx}"
