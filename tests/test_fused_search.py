@@ -217,3 +217,24 @@ def test_ensure_budget_full_group_mode():
     assert fs.maintenance_s == m0        # fresh window satisfies the mode
     fs.search(q, k=5, max_step=4, parallel=2, seed=2)
     assert fs.last_maintenance_s == 0.0  # no mid-search refresh
+
+
+def test_fused_search_pallas_route_matches_xla():
+    """The whole fused program (claim + refresh kernels inside lax.scan)
+    produces the same answers as the dense-XLA route."""
+    rng = np.random.default_rng(13)
+    n, d, m = 1024, 8, 8
+    vectors = rng.random((n, d), dtype=np.float32)
+    graph = np.asarray(build_graph(vectors, m, rounds=2, seed=13), np.int64)
+    raw = pack_vertex_db(vectors, graph)
+    queries = np.random.default_rng(15).random((2, d)).astype(np.float32)
+    outs = {}
+    for route in ("xla", "pallas"):
+        engine = DevicePianoEngine(n, 4 * (d + m), m, raw, 8,
+                                   kernel_route=route)
+        engine.preprocessing(rng=np.random.default_rng(3))
+        sids = np.random.default_rng(14).choice(n, 32, replace=False)
+        fs = FusedPrivateSearch(engine, sids, vectors[sids], graph[sids],
+                                dim=d, m=m, n=n)
+        outs[route] = fs.search(queries, k=5, max_step=6, parallel=3, seed=1)
+    assert np.array_equal(outs["xla"], outs["pallas"])
