@@ -243,6 +243,9 @@ def main() -> int:
     scale = n / 1_000_000.0
     vs = REFERENCE_HINTGEN_S * scale / t
 
+    from pacmann_tpu.pir.device_engine import (
+        _resolve_aes_route, _resolve_route)
+
     print(json.dumps({
         "metric": "pir_hintgen_time_sift1m_db",
         "value": round(t, 4),
@@ -270,6 +273,8 @@ def main() -> int:
             "reference_query_compute_ms": 55.9,
             "reference_maintenance_ms": 115.0,
             "platform": jax.devices()[0].platform,
+            "protocol_route": _resolve_route(None),
+            "aes_route": _resolve_aes_route(),
             "reference_s": REFERENCE_HINTGEN_S,
         },
     }))
