@@ -827,8 +827,19 @@ def choose_start_ids(vectors: np.ndarray, n_starts: int, *,
     cent = v_dev[jax.random.randint(key, (n_starts,), 0, n, jnp.int32)]
     for _ in range(iters):
         cent = _lloyd_iter(v_dev, cent, K=n_starts, block=blk, n_real=n)
-    return np.asarray(
+    ids = np.asarray(
         _nearest_vertex_device(v_dev, cent, block=blk, n_real=n))
+    # several centroids can resolve to the same nearest vertex; duplicate
+    # starts waste seed slots and shrink coverage (the reference draws
+    # DISTINCT random ids, private-search.go:505-528) — top up with random
+    # distinct ids
+    uniq = np.unique(ids)
+    if uniq.size < n_starts:
+        rng = np.random.default_rng(seed)
+        pool = rng.permutation(n)
+        extra = pool[~np.isin(pool, uniq, assume_unique=False)]
+        ids = np.concatenate([uniq, extra[: n_starts - uniq.size]])
+    return ids.astype(np.int64)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "block", "n_real"))

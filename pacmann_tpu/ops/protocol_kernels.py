@@ -8,18 +8,16 @@ each) costs ~3.5 ms/step while the actual data traffic is worth ~0.5 ms
 into one Pallas program each:
 
 1. `claim_select` — Phase A slot selection (pir.go:404-419). Replaces the
-   (Q, P, Hp) eligibility tensor + 6 dense repair passes with a per-
-   partition SEQUENTIAL greedy claim loop — the reference's exact
+   (Q, P, Hp) eligibility tensor + owner-fixpoint repair passes with a
+   per-partition SEQUENTIAL greedy claim loop — the reference's exact
    semantics: round q takes the first eligible primary slot not consumed
    by an earlier round of the same batch. Sequential-over-Q is cheap here
-   because each round is ~30 vector ops on a (Hp/128, 128) tile; it is
-   the (Q, Q, P) repair algebra and its kernel launches that cost.
-   NOTE the XLA repair path resolves contention in priority order per
-   PASS, which can assign a contested slot to a LATER round (the earlier
-   round then takes the next slot); the sequential kernel always lets the
-   earlier round win first. Both satisfy the protocol (any eligible slot
-   decodes correctly; consumed slots stay unique) — answers are
-   bit-identical, only which slot serves a contended round can differ.
+   because each round is ~30 vector ops on a (Hh, 128) tile; it is the
+   dense repair algebra and its kernel launches that cost. The XLA path
+   (device_engine._pir_select) iterates the owner map to fixpoint, which
+   converges to this same sequential outcome — identical hit slots AND
+   identical failure sets at any contention depth, so the two routes are
+   bit-identical in every output.
 
 2. `refresh_parity` — the Phase C primary-parity rewrite (pir.go:460-463).
    The XLA form gathers (P, Hp, Ep) rows of refreshed parities and
@@ -154,6 +152,18 @@ def claim_select(slot_col, prog, chunk_q, off_q, real_q,
     """
     if interpret is None:
         interpret = default_interpret()
+    # VMEM bound: the kernel stages one partition's full (S, Hh, 128)
+    # slot-column block (plus the (Hh, 128) programmed-chunk map) in VMEM
+    # per grid step — there is no chunk-axis blocking. ~0.9 MB at SIFT1M
+    # shapes; fail loudly before Mosaic OOMs if a config outgrows it.
+    S, Hp = slot_col.shape[1], slot_col.shape[2]
+    Hpp = _ceil_to(Hp, 128)
+    vmem_bytes = S * Hpp * slot_col.dtype.itemsize + Hpp * 4
+    if vmem_bytes > 12 * 2**20:
+        raise ValueError(
+            f"claim_select VMEM block {vmem_bytes/2**20:.1f} MB "
+            f"(S={S}, Hp={Hp}) exceeds the 12 MB bound; add S-axis "
+            "blocking or route 'xla'")
     return _claim_select_impl(slot_col, prog, chunk_q, off_q, real_q,
                               C=C, dpp=dpp, interpret=interpret)
 

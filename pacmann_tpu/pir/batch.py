@@ -71,12 +71,28 @@ class SimpleBatchPianoPIR:
         db_bytes = float(self.config.db_size) * self.config.entry_bytes
         self.comm_cost_per_batch_offline = int(db_bytes / self.support_batch_num)
 
+    # fork-join prep parallelism over partitions, matching the reference's
+    # 8 goroutines (batch-pir.go:130-148). NumPy releases the GIL in the
+    # hint-scan kernels, so threads overlap on multi-core hosts.
+    THREAD_NUM = 8
+
     def preprocessing(self, rng: np.random.Generator | None = None):
         self.finished_batch_num = 0
         self.queries_made_in_partition = 0
         t0 = time.perf_counter()
-        for sub in self.sub_pir:
-            sub.preprocessing(rng=rng)
+        # a shared Generator is not thread-safe: spawn one independent
+        # child stream per partition (deterministic given the parent)
+        rngs = (rng.spawn(len(self.sub_pir)) if rng is not None
+                else [None] * len(self.sub_pir))
+        if self.THREAD_NUM > 1 and len(self.sub_pir) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.THREAD_NUM) as pool:
+                list(pool.map(lambda sr: sr[0].preprocessing(rng=sr[1]),
+                              zip(self.sub_pir, rngs)))
+        else:
+            for sub, r in zip(self.sub_pir, rngs):
+                sub.preprocessing(rng=r)
         self._record_stats(time.perf_counter() - t0)
 
     def dummy_preprocessing(self, rng=None):

@@ -212,39 +212,43 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
             ~prog_set[None] | (prog_chunk[None] != chunk_q[..., None]))
         elig &= real_q[..., None]
 
-        # Scatter-free repair loop: TPU scatters whose indices may collide
-        # (the old claim/taken .at[] updates) lower to SERIALIZED per-row
-        # updates — ~1.5k sequential writes per op was the dominant per-step
-        # cost of the fused search. The same first-q-wins semantics falls
-        # out of a (Q, Q, P) comparison and a dense one-hot un-eligibility
-        # mask, all parallel vector ops. Resolves contended slots in pass
-        # priority order (a contested slot can go to a later round); the
-        # Pallas claim kernel is strictly sequential — both satisfy the
-        # protocol, answers are identical either way.
-        _REPAIR = 6
+        # Scatter-free SEQUENTIAL claim as an owner fixpoint. TPU scatters
+        # whose indices may collide (the old claim/taken .at[] updates)
+        # lower to SERIALIZED per-row updates, so the greedy claim is
+        # re-expressed densely: round q's candidate = its first eligible
+        # slot not owned by an EARLIER round; owner[slot] = the earliest
+        # round candidating it; iterate to fixpoint. This is Jacobi
+        # iteration on a serial dictatorship — round 0's candidate is final
+        # after pass 1 and inductively round q's is final once rounds < q
+        # are (its open-slot predicate reads only owners < q), so it
+        # converges in <= Q+1 passes (typically 2-3: contention is rare)
+        # and the fixpoint IS the reference's sequential outcome
+        # (pir.go:404-419 scanned round by round): identical hit slots AND
+        # identical failure sets as the Pallas claim kernel, at any
+        # contention depth. At fixpoint every candidating round owns its
+        # candidate (owner[cand(q)] <= q by definition, >= q by openness).
         q_iota = jnp.arange(Q, dtype=jnp.int32)
-        earlier = q_iota[None, :] < q_iota[:, None]  # [q, q'] = q' before q
         h_iota = jnp.arange(Hp, dtype=jnp.int32)
-        hit_q = jnp.zeros((Q, P), jnp.int32)
-        resolved = jnp.zeros((Q, P), bool)
-        for _ in range(_REPAIR):
-            elig_eff = elig & ~resolved[..., None]
-            cand_hit = jnp.argmax(elig_eff, axis=2).astype(jnp.int32)
-            cand_found = jnp.any(elig_eff, axis=2)
-            # q wins its candidate slot iff no earlier q' candidates it too
-            same = cand_hit[:, None, :] == cand_hit[None, :, :]  # (Q, Q, P)
-            blocked = jnp.any(
-                same & cand_found[None, :, :] & earlier[:, :, None], axis=1)
-            won = cand_found & ~blocked
-            hit_q = jnp.where(won, cand_hit, hit_q)
-            resolved |= won
-            # won slots leave the eligibility mask for the next pass
-            newly = jnp.any(
-                won[..., None]
-                & (h_iota[None, None, :] == cand_hit[..., None]),
-                axis=0)                                       # (P, Hp)
-            elig &= ~newly[None]
-        found_q = resolved
+        big = jnp.int32(Q)
+
+        def _pass(st):
+            owner = st[0]                                 # (P, Hp)
+            open_s = owner[None] >= q_iota[:, None, None]  # (Q, P, Hp)
+            elig_eff = elig & open_s
+            cand = jnp.argmax(elig_eff, axis=2).astype(jnp.int32)  # (Q, P)
+            found = jnp.any(elig_eff, axis=2)
+            match = found[:, :, None] & (
+                cand[:, :, None] == h_iota[None, None, :])  # (Q, P, Hp)
+            new_owner = jnp.where(
+                jnp.any(match, axis=0),
+                jnp.argmax(match, axis=0).astype(jnp.int32), big)
+            return new_owner, cand, found, jnp.any(new_owner != owner)
+
+        st = (jnp.full((P, Hp), big), jnp.zeros((Q, P), jnp.int32),
+              jnp.zeros((Q, P), bool), jnp.array(True))
+        _, hit_q, found_q, _ = jax.lax.while_loop(
+            lambda st: st[3], _pass, st)
+        hit_q = jnp.where(found_q, hit_q, 0)
 
     # ---- budgets, assigned by round order
     chunk_oh = found_q[..., None] & (

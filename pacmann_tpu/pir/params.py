@@ -113,6 +113,37 @@ def derive_piano_params(
     )
 
 
+def expected_success_rate(wanted: int, partition_num: int, quota: int,
+                          failure_prob_log2: int) -> float:
+    """Analytic served/wanted rate of the lossy FCFS batch contract.
+
+    The reference drops overflow sub-queries silently (batch-pir.go:229-235)
+    and loses each surviving one to a hint miss w.p. 2^-failLog2
+    (pir.go:416-419) but records no expected rate; this derives it so the
+    measured device counters have a contract to regress against. Model:
+    `wanted` fetches with uniform-independent partition assignment — the
+    per-partition count X is Binomial(wanted, 1/P) — each partition serves
+    min(X, quota):
+
+        E[served]/wanted = P * E[min(X, quota)] / wanted * (1 - 2^-fail)
+
+    Graph-neighbor ids are only approximately uniform, so callers should
+    allow a few percent of tolerance; a larger deviation means the routing,
+    dedup, or budget logic regressed."""
+    P, B, q = partition_num, wanted, quota
+    if B <= 0 or P <= 0:
+        return 1.0
+    # E[min(X, q)] = q - sum_{x<q} (q-x) pmf(x), pmf iterated stably
+    pr = 1.0 / P
+    pmf = (1.0 - pr) ** B
+    emin = float(q)
+    for x in range(min(q, B)):
+        emin -= (q - x) * pmf
+        pmf *= (B - x) / (x + 1.0) * pr / (1.0 - pr)
+    served = min(P * emin / B, 1.0)
+    return served * (1.0 - 2.0 ** (-failure_prob_log2))
+
+
 @dataclasses.dataclass(frozen=True)
 class BatchParams:
     """SimpleBatchPianoPIR partitioning (batch-pir.go:55-93)."""

@@ -205,15 +205,14 @@ def run_private_search(cfg: PrivateSearchConfig,
                     g = np.concatenate(
                         [g, np.zeros((group - g.shape[0], cfg.dim),
                                      np.float32)])
-                out = fs.search(g, cfg.k, cfg.max_step, cfg.parallel,
-                                seed=cfg.seed + 1 + i)
+                out, out_steps = fs.search(g, cfg.k, cfg.max_step,
+                                           cfg.parallel, seed=cfg.seed + 1 + i,
+                                           return_steps=True)
                 answers[i:j] = out[: j - i]
+                steps[i:j] = out_steps[: j - i]
         maintenance = fs.maintenance_s
         search_time = time.perf_counter() - t0 - maintenance
         avg_time = search_time / max(cfg.q, 1)
-        # fused mode does not report reach_steps (stays -1): the per-result
-        # first-reached-step bookkeeping is not tracked inside the fused
-        # device program (it would add a gather per step for a debug metric).
         return _finalize(cfg, oracle, answers, steps, avg_time, maintenance,
                          prep_time, gnd, window)
 

@@ -261,11 +261,22 @@ def _fused_segment(db, pir_state, beam, queries, keys, base, n_steps,
     return new_state, (ids, dist, nbrs, explored), stats
 
 
-@functools.partial(jax.jit, static_argnames=("topk",))
-def _finish_topk(ids, dist, *, topk):
+@functools.partial(jax.jit, static_argnames=("topk", "parallel", "m"))
+def _finish_topk(ids, dist, *, topk, parallel, m):
+    """Top-k of the visited table -> (ids, reach_steps).
+
+    The visited-table layout encodes each vertex's first-reached step for
+    free (search.go:210-233's reach bookkeeping without any extra per-step
+    gathers): slots [0, parallel) hold the seeds (step 0, matching the host
+    twin's reach=0 for start vertices) and step g writes the contiguous
+    window starting at parallel + g*parallel*m, so step = (slot - parallel)
+    // (parallel*m) for every non-seed slot."""
     negd, slot = jax.lax.top_k(-dist, topk)
-    return jnp.where(
-        negd > -INF, jnp.take_along_axis(ids, slot, axis=1), NEG_ID)
+    valid = negd > -INF
+    out = jnp.where(valid, jnp.take_along_axis(ids, slot, axis=1), NEG_ID)
+    steps = jnp.maximum(slot - parallel, 0) // (parallel * m)
+    steps = jnp.where(valid, steps.astype(jnp.int32), NEG_ID)
+    return out, steps
 
 
 class FusedPrivateSearch:
@@ -359,8 +370,9 @@ class FusedPrivateSearch:
         return lens
 
     def search(self, queries: np.ndarray, k: int, max_step: int,
-               parallel: int, seed: int = 0) -> np.ndarray:
-        """-> (Q, k) int64 answer ids (-1 padded)."""
+               parallel: int, seed: int = 0, return_steps: bool = False):
+        """-> (Q, k) int64 answer ids (-1 padded); with return_steps also
+        the (Q, k) first-reached step of each answer (search.go:210-233)."""
         e = self.engine
         p = e.params
         P = e.config.partition_num
@@ -408,16 +420,26 @@ class FusedPrivateSearch:
             e.finished_batch_num += seg * (F // e.config.batch_size)
             base += seg
 
-        out_ids = _finish_topk(beam[0], beam[1], topk=k)
+        out_ids, out_steps = _finish_topk(
+            beam[0], beam[1], topk=k, parallel=parallel, m=self.m)
         # one device_get for the answers AND the true per-partition budget
         # consumption: dedup'd / dummy rows never spend device budget, so
         # the measured `finished` is far below the worst-case estimate —
-        # stretching each budget window over more searches (fewer refreshes)
-        out_np, fin, stat_np = jax.device_get(
-            (out_ids, e.state["finished"], seg_stats))
-        e.queries_made_in_partition = int(fin.max())
+        # stretching each budget window over more searches (fewer refreshes).
+        # Consumption = max(finished, per-partition backup burn): admitted-
+        # then-denied rounds (ok_r & ~ok_q) burn a backup hint without
+        # serving, so `finished` alone would understate near exhaustion and
+        # stretch the window into extra hint-miss failures at the tail.
+        out_np, steps_np, fin, hist, stat_np = jax.device_get(
+            (out_ids, out_steps, e.state["finished"], e.state["hist"],
+             seg_stats))
+        e.queries_made_in_partition = int(
+            max(fin.max(), hist.sum(axis=1).max()))
         self.fetch_stats += np.sum(stat_np, axis=0, dtype=np.int64)
-        return np.asarray(out_np).astype(np.int64)
+        out_np = np.asarray(out_np).astype(np.int64)
+        if return_steps:
+            return out_np, np.asarray(steps_np).astype(np.int64)
+        return out_np
 
     def budget_left(self) -> int:
         return self.engine.params.max_query_num \

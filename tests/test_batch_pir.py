@@ -89,3 +89,36 @@ def test_batch_auto_reprep_budget():
     # of queries in expectation; the rest are dropped to zeros by contract.
     # Assert we stay near that bound across hint refreshes.
     assert ok > rounds * batch * 0.65
+
+
+def test_fcfs_success_matches_analytic_contract():
+    """Measured served/wanted rate tracks the derivable FCFS + hint-miss
+    model (expected_success_rate): quota-overflow drops follow
+    E[min(Binom(B,1/P), quota)] (batch-pir.go:194-235) and survivors miss
+    w.p. 2^-failLog2 (pir.go:416-419). A drift beyond tolerance means the
+    routing, dedup, or budget logic silently regressed."""
+    from pacmann_tpu.pir.device_engine import DevicePianoEngine
+    from pacmann_tpu.pir.params import expected_success_rate
+
+    rng = np.random.default_rng(24)
+    n, entry_bytes, batch = 8192, 32, 32
+    raw = rng.integers(0, 2**32, size=(n, entry_bytes // 4), dtype=np.uint32)
+    pir = DevicePianoEngine(n, entry_bytes, batch, raw, 20)
+    pir.preprocessing(rng=np.random.default_rng(103))
+    c = pir.config
+
+    batches, served = 100, 0
+    for _ in range(batches):
+        # distinct uniform ids (the model's i.i.d.-assignment assumption)
+        ids = rng.choice(n, size=batch, replace=False)
+        pir.cache = {}  # keep every round a real protocol round
+        out = pir.query([int(i) for i in ids])
+        for r, idx in enumerate(ids):
+            if np.array_equal(out[r], raw[idx]):
+                served += 1
+
+    measured = served / (batches * batch)
+    model = expected_success_rate(
+        batch, c.partition_num, batch // c.partition_num, 20)
+    # ~3200 Bernoulli samples at p~0.73: 5 sigma ~ 0.04
+    assert abs(measured - model) < 0.05, (measured, model)

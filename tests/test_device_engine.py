@@ -135,14 +135,16 @@ def test_measured_comm_matches_analytic_model():
         up_model + down_model) // batches
 
 
-def test_phase_a_repair_exhaustion():
+def test_phase_a_contention_matches_sequential_oracle():
     """Worst-case slot contention: every round of a batch asks the SAME
     (chunk, offset) in every partition, so all rounds contest one eligible
-    slot set. The priority repair resolves one round per pass (_REPAIR=6);
-    rounds beyond that fail like a protocol miss (declared deviation,
-    device_engine.py Phase A). Successful rounds must stay exact and the
-    engine must keep answering normally afterwards."""
+    slot set. The owner-fixpoint claim must reproduce the strictly
+    SEQUENTIAL greedy outcome (pir.go:404-419 scanned round by round) —
+    identical found/failed sets as the NumPy sequential twin at any
+    contention depth — and successful rounds must stay exact."""
+    from pacmann_tpu.ops.protocol_kernels import claim_select_np
     from pacmann_tpu.pir.device_engine import DevicePianoEngine
+    from pacmann_tpu.pir.params import DEFAULT_PROGRAM_POINT
 
     rng = np.random.default_rng(60)
     n, batch, fail = 2048, 32, 20
@@ -152,16 +154,25 @@ def test_phase_a_repair_exhaustion():
     c, p = pir.config, pir.params
     P = c.partition_num
 
-    Q = 16  # >> _REPAIR
+    Q = 16  # far deeper contention than any real batch
     local = 17  # same local index in every partition, every round
     idx_q = np.full((Q, P), local, np.int32)
+    # snapshot the claim inputs before the donated call
+    slot_col = np.asarray(pir.state["slot_col"])
+    prog = np.asarray(pir.state["prog"])
     entries, oks = _raw_online(pir, idx_q, rng)
 
-    # expected eligible slots per (chunk, offset) is Hp/C (= 15 here); the
-    # repair bound caps successes at 6 per partition, and with seed-fixed
-    # tables at least 5 eligible slots exist in every partition.
+    chunk_q = np.full((Q, P), local // p.chunk_size, np.int32)
+    off_q = np.full((Q, P), local % p.chunk_size, np.uint32)
+    _, found_np = claim_select_np(
+        slot_col, prog, chunk_q, off_q, np.ones((Q, P), bool),
+        C=p.chunk_size, dpp=DEFAULT_PROGRAM_POINT)
+    # budgets don't bind here (all found ranks < R, Q << max_query_num),
+    # so ok == sequential found, exactly
+    assert np.array_equal(oks, found_np)
+    # sanity: the contention is real — successes are capped by the number
+    # of eligible slots (~Binomial(Hp, 1/C), mean 15 here), not by Q
     per_part = oks.sum(axis=0)
-    assert per_part.max() <= 6, per_part
     assert per_part.min() >= 5, per_part
     # successful rounds are exact despite the contention
     for q in range(Q):

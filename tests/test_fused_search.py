@@ -87,7 +87,11 @@ def test_fused_search_repeat_calls_share_budget():
     # the host counter is the DEVICE-measured consumption: dedup'd and
     # dummy rows never spend budget, so it sits at or below the worst case
     assert 0 < used1 <= worst
-    assert used1 == int(np.asarray(engine.state["finished"]).max())
+    fin = np.asarray(engine.state["finished"])
+    hist = np.asarray(engine.state["hist"])
+    # resync = max(served, backup burn): admitted-then-denied rounds burn a
+    # backup without serving, so the burn side can exceed `finished`
+    assert used1 == int(max(fin.max(), hist.sum(axis=1).max()))
     # force the proactive refresh on the next call and check it is tallied
     # as maintenance and opens a fresh window
     engine.queries_made_in_partition = engine.params.max_query_num - 5
@@ -238,3 +242,41 @@ def test_fused_search_pallas_route_matches_xla():
                                 dim=d, m=m, n=n)
         outs[route] = fs.search(queries, k=5, max_step=6, parallel=3, seed=1)
     assert np.array_equal(outs["xla"], outs["pallas"])
+
+
+def test_fused_reach_steps_parity_with_host():
+    """Fused mode's reach_steps (derived from the visited-table slot index,
+    zero extra device work) must match the host twin's per-answer
+    first-reached-step bookkeeping (search.go:210-233) for every answer the
+    two paths agree on — same seeds-step-0 convention, same step indexing."""
+    from pacmann_tpu.graph.beam_host import BasicGraphOracle, BeamSearcher
+
+    rng = np.random.default_rng(41)
+    n, d, m = 2048, 16, 8
+    vectors = rng.random((n, d), dtype=np.float32)
+    graph = np.asarray(build_graph(vectors, m, rounds=2, seed=41), np.int64)
+    queries = rng.random((3, d), dtype=np.float32)
+    sids = rng.choice(n, int(np.sqrt(n)), replace=False)
+
+    raw = pack_vertex_db(vectors, graph)
+    engine = DevicePianoEngine(n, 4 * (d + m), m, raw, 20)
+    engine.preprocessing(rng=np.random.default_rng(1))
+    fs = FusedPrivateSearch(engine, sids, vectors[sids], graph[sids],
+                            dim=d, m=m, n=n)
+    ids_f, steps_f = fs.search(queries, k=10, max_step=8, parallel=3,
+                               seed=2, return_steps=True)
+    assert ids_f.shape == steps_f.shape
+    # valid answers carry a step in [0, max_step); padding stays -1
+    assert np.all((steps_f >= 0) == (ids_f >= 0))
+    assert steps_f.max() < 8
+
+    # host twin on a plaintext oracle with the same start set
+    oracle = BasicGraphOracle(vectors, graph)
+    bs = BeamSearcher(oracle, np.random.default_rng(2))
+    bs.start = (sids, vectors[sids], graph[sids])
+    for qi in range(queries.shape[0]):
+        ids_h, steps_h = bs.search_knn(queries[qi], 10, 8, 3)
+        h_map = {int(i): int(s) for i, s in zip(ids_h, steps_h) if i >= 0}
+        for i, s in zip(ids_f[qi], steps_f[qi]):
+            if int(i) in h_map:
+                assert h_map[int(i)] == int(s), (qi, i, s, h_map[int(i)])

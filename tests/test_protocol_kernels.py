@@ -99,9 +99,11 @@ def test_engine_exact_with_pallas_route():
             assert np.array_equal(out[r], raw[idx]), (r, idx)
 
 
-def test_engine_state_identical_across_routes_when_uncontended():
-    """With spread queries (no slot contention) the pallas and xla routes
-    pick identical slots, so the full client state evolves identically."""
+def test_engine_state_identical_across_routes():
+    """The pallas kernel is strictly sequential and the xla owner-fixpoint
+    converges to the same sequential outcome, so the full client state must
+    evolve IDENTICALLY on both routes — including under heavy slot
+    contention (a batch whose rounds all ask the same index)."""
     from pacmann_tpu.pir.device_engine import DevicePianoEngine
 
     rng = np.random.default_rng(11)
@@ -115,6 +117,14 @@ def test_engine_state_identical_across_routes_when_uncontended():
         ids = [int(i * pir.config.partition_size + 7)
                for i in range(pir.config.partition_num)]
         pir.query(ids)
+        # contended batch: every round of every partition asks index 17
+        Q = 8
+        idx_q = np.full((Q, pir.config.partition_num), 17, np.int32)
+        p = pir.params
+        rand_offs = (np.random.default_rng(12).integers(
+            0, 2**32, size=(Q, pir.config.partition_num, p.set_size),
+            dtype=np.uint64) & np.uint64(p.chunk_mask)).astype(np.uint32)
+        pir.state = pir._online(idx_q, rand_offs)[0]
         engines.append(pir)
     a, b = engines
     for key in ("tag", "prog", "primary_parity", "slot_col", "hist",
