@@ -28,6 +28,7 @@ Environment knobs:
                          [pianopir/pir_test.go:204-275])
 """
 
+import functools
 import json
 import os
 import sys
@@ -64,6 +65,54 @@ def synth_raw(n: int, entry_u32: int, seed: int = 0,
     return raw
 
 
+def synth_raw_device(n: int, entry_u32: int, seed: int = 0,
+                     float_cols: int = 0, nbr_cols: int = 0):
+    """Device twin of synth_raw: the DB is synthesized IN HBM, so nothing
+    crosses the tunnel (a 640 MB host upload takes minutes-to-hours on a
+    congested day; DevicePianoEngine._pack_db takes device-resident raw
+    with zero upload). Same structure: valid f32 bit patterns in the first
+    float_cols words, uniform neighbor ids, distinct first word. Content
+    differs from synth_raw (different RNG) — timing-equivalent, and all
+    correctness checks fetch the compared rows from this array."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+    def gen(key, n, entry_u32, float_cols, nbr_cols=nbr_cols):
+        k1, k2, k3 = jax.random.split(key, 3)
+        raw = jax.random.bits(k1, (n, entry_u32), dtype=jnp.uint32)
+        if float_cols:
+            f = jax.random.uniform(k2, (n, float_cols), jnp.float32)
+            raw = raw.at[:, :float_cols].set(
+                jax.lax.bitcast_convert_type(f, jnp.uint32))
+        if nbr_cols:
+            nb = jax.random.randint(k3, (n, nbr_cols), 0, n, jnp.int32)
+            raw = raw.at[:, float_cols:float_cols + nbr_cols].set(
+                nb.astype(jnp.uint32))
+        return raw.at[:, 0].set(jnp.arange(n, dtype=jnp.uint32))
+
+    return gen(jax.random.PRNGKey(seed), n, entry_u32, float_cols)
+
+
+def synth_raw_auto(n: int, entry_u32: int, seed: int = 0,
+                   float_cols: int = 0, nbr_cols: int = 0):
+    """Device synthesis on TPU (zero-upload), host NumPy elsewhere.
+    PACMANN_BENCH_HOST_SYNTH=1 forces the host path on TPU too."""
+    from pacmann_tpu.utils.platform import on_tpu
+
+    if on_tpu() and not os.environ.get("PACMANN_BENCH_HOST_SYNTH"):
+        return synth_raw_device(n, entry_u32, seed, float_cols, nbr_cols)
+    return synth_raw(n, entry_u32, seed, float_cols, nbr_cols)
+
+
+def _rows(raw, idx):
+    """Fetch compared rows host-side: free for host raw, a per-row D2H for
+    device raw (640 B/row — never the full DB)."""
+    if isinstance(raw, np.ndarray):
+        return raw[idx]
+    return np.asarray(raw[np.asarray(idx)])
+
+
 def big_perf() -> int:
     """Reference TestBatchPIRPerf twin (pianopir/pir_test.go:204-275):
     n=3,201,821 entries of 896 B (112 u64), batch 32, failLog2=8. Times
@@ -75,7 +124,7 @@ def big_perf() -> int:
     from pacmann_tpu.pir.device_engine import DevicePianoEngine
 
     n, entry_bytes, batch = 3_201_821, 896, 32
-    raw = synth_raw(n, entry_bytes // 4)
+    raw = synth_raw_auto(n, entry_bytes // 4)
     pir = DevicePianoEngine(n, entry_bytes, batch, raw, 8)
     jax.block_until_ready(pir.db)
 
@@ -90,14 +139,18 @@ def big_perf() -> int:
     rng = np.random.default_rng(3)
     pir.query([int(i) for i in rng.integers(0, n, batch)])  # compile
     iters, ok, tot = 50, 0, 0
+    checks = []
     t1 = time.perf_counter()
     for _ in range(iters):
         ids = [int(i) for i in rng.integers(0, n, batch)]
         out = pir.query(ids)
-        for r, idx in enumerate(ids):
-            tot += 1
-            ok += int(np.array_equal(out[r], raw[idx]))
+        checks.append((ids, out))
     batch_ms = (time.perf_counter() - t1) / iters * 1000
+    for ids, out in checks:  # row fetches outside the timed loop
+        exp = _rows(raw, ids)
+        for r in range(len(ids)):
+            tot += 1
+            ok += int(np.array_equal(out[r], exp[r]))
 
     rtt_ms, parallel, step = 50.0, 2, 15
     ann_ms = (batch_ms * parallel + rtt_ms) * step
@@ -175,7 +228,7 @@ def main() -> int:
 
     from pacmann_tpu.pir.device_engine import DevicePianoEngine
 
-    raw = synth_raw(n, entry_bytes // 4, float_cols=dim, nbr_cols=m)
+    raw = synth_raw_auto(n, entry_bytes // 4, float_cols=dim, nbr_cols=m)
     pir = DevicePianoEngine(n, entry_bytes, batch, raw, 8)
     jax.block_until_ready(pir.db)
 
@@ -194,14 +247,18 @@ def main() -> int:
     ids = [int(i) for i in rng.integers(0, n, 96)]
     pir.query(ids)  # compile
     iters, ok, tot = 10, 0, 0
+    checks = []
     t1 = time.perf_counter()
     for _ in range(iters):
         ids = [int(i) for i in rng.integers(0, n, 96)]
         out = pir.query(ids)
-        for r, idx in enumerate(ids):
-            tot += 1
-            ok += int(np.array_equal(out[r], raw[idx]))
+        checks.append((ids, out))
     online_ms = (time.perf_counter() - t1) / iters * 1000
+    for ids, out in checks:  # row fetches outside the timed loop
+        exp = _rows(raw, ids)
+        for r in range(len(ids)):
+            tot += 1
+            ok += int(np.array_equal(out[r], exp[r]))
 
     # fused end-to-end private query: the full 20-step beam+PIR search as
     # one device program. Accounting mirrors the reference report's TWO
@@ -212,10 +269,13 @@ def main() -> int:
     # over the queries served). Reference: 55.9 ms compute + 115 ms maint.
     from pacmann_tpu.private.fused_search import FusedPrivateSearch
 
-    graph = raw[:, dim : dim + m].astype(np.int64) % n
     sids = rng.choice(n, min(1000, int(np.sqrt(n))), replace=False)
-    svecs = np.ascontiguousarray(raw[sids, :dim]).view("<f4")
-    fs = FusedPrivateSearch(pir, sids, svecs, graph[sids], dim=dim, m=m, n=n)
+    srows = _rows(raw, sids)  # only the start rows cross the tunnel
+    svecs = np.ascontiguousarray(srows[:, :dim]).view("<f4")
+    snbrs = srows[:, dim : dim + m].astype(np.int64) % n
+    fs = FusedPrivateSearch(pir, sids, svecs, snbrs, dim=dim, m=m, n=n)
+
+    from pacmann_tpu.pir.params import expected_success_rate
 
     def fused_time(G: int, seed0: int, reps: int = 3):
         q = rng.random((G, dim), dtype=np.float32)
@@ -229,14 +289,21 @@ def main() -> int:
             fs.search(q, k=10, max_step=20, parallel=3, seed=seed0 + 1 + rep)
             comp.append(time.perf_counter() - t2 - fs.last_maintenance_s)
         maint_ms = fs.maintenance_s * 1000 / (reps * G)
-        return min(comp) * 1000 / G, maint_ms, fs.fetch_success_rate()
+        # analytic contract: expected served/wanted from the FCFS quota
+        # binomial + 2^-fail hint miss at the measured avg wanted/step —
+        # measured success should sit within a few % of this bound
+        P = pir.config.partition_num
+        quota = G * 3 * m // P
+        want_step = int(round(fs.fetch_stats[0] / (reps * 20)))
+        bound = expected_success_rate(want_step, P, quota, 8)
+        return min(comp) * 1000 / G, maint_ms, fs.fetch_success_rate(), bound
 
-    fused_query_ms, _, _ = fused_time(1, 9)
-    fused16_ms_per_query, maint_ms_per_query, succ16 = fused_time(
+    fused_query_ms, _, _, _ = fused_time(1, 9)
+    fused16_ms_per_query, maint_ms_per_query, succ16, bound16 = fused_time(
         16, 20, reps=5)
-    fused32_ms_per_query, maint32_ms_per_query, succ32 = fused_time(
+    fused32_ms_per_query, maint32_ms_per_query, succ32, bound32 = fused_time(
         32, 40, reps=5)
-    fused64_ms_per_query, maint64_ms_per_query, succ64 = fused_time(
+    fused64_ms_per_query, maint64_ms_per_query, succ64, bound64 = fused_time(
         64, 60, reps=5)
 
     db_gb = n * entry_bytes / 1e9
@@ -270,6 +337,9 @@ def main() -> int:
             "fused16_fetch_success": round(succ16, 4),
             "fused32_fetch_success": round(succ32, 4),
             "fused64_fetch_success": round(succ64, 4),
+            "fused16_success_bound": round(bound16, 4),
+            "fused32_success_bound": round(bound32, 4),
+            "fused64_success_bound": round(bound64, 4),
             "reference_query_compute_ms": 55.9,
             "reference_maintenance_ms": 115.0,
             "platform": jax.devices()[0].platform,

@@ -71,8 +71,12 @@ def kmeans(vectors: np.ndarray, n_clusters: int, n_iter: int = 10,
 
     @jax.jit
     def accumulate(labels, block_vecs, sums, counts):
-        sums = sums.at[labels].add(block_vecs)
-        counts = counts.at[labels].add(1)
+        # one-hot MXU matmul, not .at[labels].add: colliding scatter-adds
+        # lower to serialized per-row updates on TPU (~100 s/iter at 1M —
+        # the same lesson as build.py's Lloyd)
+        onehot = jax.nn.one_hot(labels, sums.shape[0], dtype=jnp.float32)
+        sums = sums + onehot.T @ block_vecs
+        counts = counts + jnp.sum(onehot, axis=0).astype(jnp.int32)
         return sums, counts
 
     labels = np.empty(n, np.int32)
@@ -92,8 +96,27 @@ def kmeans(vectors: np.ndarray, n_clusters: int, n_iter: int = 10,
     return np.asarray(centroids), labels
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _cluster_scan_device(vectors, centroids, members, queries, *, k: int):
+    """Route each query to its nearest centroid and brute-force its
+    cluster: one fixed-shape program (members padded to the max cluster
+    size), so every query block reuses one compile."""
+    cd = l2_distance_xla(queries, centroids)
+    nearest = jnp.argmin(cd, axis=1)                 # (Qb,)
+    mem = members[nearest]                           # (Qb, cap) i32, -1 pad
+    valid = mem >= 0
+    vecs = vectors[jnp.where(valid, mem, 0)]         # (Qb, cap, d)
+    d2 = jnp.sum((vecs - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    negd, idx = jax.lax.top_k(-d2, k)
+    ids = jnp.take_along_axis(mem, idx, axis=1)
+    return jnp.where(negd > -jnp.inf, ids, -1)
+
+
 class ClusterSearcher:
     """Nearest-centroid + in-cluster brute force (cluster-search.py:170-198)."""
+
+    QUERY_BLOCK = 64
 
     def __init__(self, vectors: np.ndarray, n_clusters: int | None = None,
                  n_iter: int = 10, seed: int = 0, verbose: bool = False):
@@ -111,26 +134,38 @@ class ClusterSearcher:
         self.starts = np.searchsorted(self.labels[order], np.arange(n_clusters))
         self.ends = np.searchsorted(self.labels[order],
                                     np.arange(n_clusters) + 1)
+        # fixed-capacity member matrix for the device scan: pad every
+        # cluster to the max size (-1 = empty). K * cap i32 is small
+        # (~a few x n at sqrt(n) clusters).
+        sizes = self.ends - self.starts
+        cap = max(int(sizes.max()), 1)
+        members = np.full((n_clusters, cap), -1, np.int32)
+        for c in range(n_clusters):
+            members[c, : sizes[c]] = self.sorted_ids[
+                self.starts[c] : self.ends[c]]
+        self._members_dev = jnp.asarray(members)
+        self._vectors_dev = jnp.asarray(self.vectors)
+        self._centroids_dev = jnp.asarray(self.centroids)
 
     def search(self, queries: np.ndarray, k: int):
         """-> ids (Q, k) int64; -1 padded for undersized clusters.
 
-        Centroid routing is one device distance pass; the in-cluster scan
-        is host NumPy — each cluster holds ~sqrt(n) vectors, so the scan is
-        tiny and a per-query device call (whose member-count shape varies
-        per cluster, forcing a recompile each time) would cost far more
-        than it saves."""
+        Runs entirely on device in fixed-shape blocks of QUERY_BLOCK
+        queries (the host scan this replaces cost ~107 ms/query at 1M on
+        the 1-vCPU box; the device program is one centroid distance pass +
+        one member-row gather + top_k per block)."""
         queries = np.asarray(queries, np.float32)
-        cd = np.asarray(l2_distance_xla(jnp.asarray(queries),
-                                        jnp.asarray(self.centroids)))
-        nearest = np.argmin(cd, axis=1)
-        out = np.full((queries.shape[0], k), -1, np.int64)
-        for qi, c in enumerate(nearest):
-            members = self.sorted_ids[self.starts[c] : self.ends[c]]
-            if members.size == 0:
-                continue
-            diff = self.vectors[members] - queries[qi]
-            d = np.einsum("md,md->m", diff, diff)
-            top = np.argsort(d, kind="stable")[:k]
-            out[qi, : top.size] = members[top]
+        Q = queries.shape[0]
+        B = min(self.QUERY_BLOCK, max(Q, 1))
+        out = np.empty((Q, k), np.int64)
+        for b0 in range(0, Q, B):
+            qb = queries[b0 : b0 + B]
+            if qb.shape[0] < B:  # pad to the compiled shape
+                qb = np.concatenate(
+                    [qb, np.zeros((B - qb.shape[0], qb.shape[1]),
+                                  np.float32)])
+            ids = _cluster_scan_device(
+                self._vectors_dev, self._centroids_dev, self._members_dev,
+                jnp.asarray(qb), k=k)
+            out[b0 : b0 + B] = np.asarray(ids)[: Q - b0]
         return out

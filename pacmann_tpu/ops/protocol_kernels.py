@@ -57,12 +57,14 @@ def _claim_kernel(cq_ref, oq_ref, rq_ref, pc_ref, col_ref,
     """Grid (P,). Per partition: for q in [0, Q): take the first eligible
     unclaimed primary slot.
 
-    cq/oq/rq (1, Q) i32 SMEM: chunk, offset, is-real per round;
+    cq/oq/rq (P, Q) i32 SMEM (full array — Mosaic forbids (1, Q) SMEM
+    blocks unless Q-axis tiles align; scalars index by program_id);
     pc (1, Hh, 128) i32 VMEM: programmed chunk per slot (-1 = unset);
     col (1, S, Hh, 128) VMEM: cached PRF offset per (chunk, slot);
-    hit/fnd (1, Q) i32 SMEM outputs.
+    hit/fnd (P, Q) i32 SMEM outputs (full array, row p written here).
     Slot index h = hh*128 + lane (the (Hp,) order of the XLA path).
     """
+    p = pl.program_id(0)
     Hh = pc_ref.shape[1]
     h2 = (jax.lax.broadcasted_iota(jnp.int32, (Hh, 128), 0) * 128
           + jax.lax.broadcasted_iota(jnp.int32, (Hh, 128), 1))
@@ -70,9 +72,9 @@ def _claim_kernel(cq_ref, oq_ref, rq_ref, pc_ref, col_ref,
     big = jnp.int32(Hh * 128)
 
     def body(q, claimed):
-        ck = cq_ref[0, q]
-        off = oq_ref[0, q]
-        real = rq_ref[0, q]
+        ck = cq_ref[p, q]
+        off = oq_ref[p, q]
+        real = rq_ref[p, q]
         col = col_ref[0, pl.ds(ck, 1)][0].astype(jnp.int32)   # (Hh, 128)
         elig = (col == off) & (pc != ck) & jnp.logical_not(claimed)
         cand = jnp.where(elig, h2, big)
@@ -80,8 +82,8 @@ def _claim_kernel(cq_ref, oq_ref, rq_ref, pc_ref, col_ref,
         fnd = jnp.logical_and(m < big, real != 0)
         mv = jnp.where(fnd, m, big)
         claimed = claimed | (h2 == mv)
-        hit_ref[0, q] = jnp.where(fnd, m, 0)
-        fnd_ref[0, q] = fnd.astype(jnp.int32)
+        hit_ref[p, q] = jnp.where(fnd, m, 0)
+        fnd_ref[p, q] = fnd.astype(jnp.int32)
         return claimed
 
     # padded slots (h >= Hp) start claimed so they are never eligible
@@ -118,11 +120,13 @@ def _claim_select_impl(slot_col, prog, chunk_q, off_q, real_q,
                    jax.ShapeDtypeStruct((P, Q), jnp.int32)),
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((1, Q), lambda p: (p, 0),
+            # full-array SMEM: Mosaic requires the last two block dims to
+            # tile (8, 128) or equal the array dims — (1, Q) rows don't
+            pl.BlockSpec((P, Q), lambda p: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Q), lambda p: (p, 0),
+            pl.BlockSpec((P, Q), lambda p: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Q), lambda p: (p, 0),
+            pl.BlockSpec((P, Q), lambda p: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Hh, 128), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -130,9 +134,9 @@ def _claim_select_impl(slot_col, prog, chunk_q, off_q, real_q,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, Q), lambda p: (p, 0),
+            pl.BlockSpec((P, Q), lambda p: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Q), lambda p: (p, 0),
+            pl.BlockSpec((P, Q), lambda p: (0, 0),
                          memory_space=pltpu.SMEM),
         ),
         interpret=interpret,
@@ -200,15 +204,17 @@ def _refresh_kernel(hit_ref, ok_ref, np_ref, pin_ref, pout_ref,
                     *, hb: int, Q: int):
     """Grid (P, Hp//hb). Stream this partition's parity block through VMEM
     and overwrite the <= Q refreshed rows in place (rows unique per
-    partition by the claim invariant)."""
+    partition by the claim invariant). hit/ok are full (P, Q) SMEM arrays
+    indexed by program_id (Mosaic forbids (1, Q) SMEM row blocks)."""
+    p = pl.program_id(0)
     b = pl.program_id(1)
     start = b * hb
     pout_ref[:] = pin_ref[:]
 
     def body(q, _):
-        h = hit_ref[0, q]
+        h = hit_ref[p, q]
 
-        @pl.when((ok_ref[0, q] != 0) & (h >= start) & (h < start + hb))
+        @pl.when((ok_ref[p, q] != 0) & (h >= start) & (h < start + hb))
         def _():
             pout_ref[0, pl.ds(h - start, 1), :] = np_ref[0, pl.ds(q, 1), :]
 
@@ -242,9 +248,9 @@ def _refresh_parity_impl(ppar, new_par, hit, ok, *, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((P, Hp, Ep), jnp.uint32),
         grid=(P, Hp // hb),
         in_specs=[
-            pl.BlockSpec((1, Q), lambda p, b: (p, 0),
+            pl.BlockSpec((P, Q), lambda p, b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Q), lambda p, b: (p, 0),
+            pl.BlockSpec((P, Q), lambda p, b: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Q, Ep), lambda p, b: (p, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -27,12 +27,13 @@ def main():
     ap.add_argument("--rounds", type=int, nargs="+", default=[5, 8])
     ap.add_argument("--keep", type=int, nargs="+", default=[0])
     ap.add_argument("--queries", type=int, default=200)
+    ap.add_argument("--latent", type=int, default=16)
     args = ap.parse_args()
 
     n, d, m = args.n, 128, 32
     rng = np.random.default_rng(0)
     t0 = time.time()
-    vectors = synth_continuum(n, d, rng, latent=16)
+    vectors = synth_continuum(n, d, rng, latent=args.latent)
     print(f"vectors: {time.time()-t0:.1f}s", flush=True)
 
     from pacmann_tpu.graph.build import build_graph

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 
 def main():
-    from bench import synth_raw
+    from bench import synth_raw_auto
     from pacmann_tpu.pir.device_engine import (
         DevicePianoEngine, _pir_select, _pir_batch, _pir_finish)
     from pacmann_tpu.ops.xor_scan import xor_server_scan
@@ -32,7 +32,7 @@ def main():
 
     n, dim, m = 1_000_000, 128, 32
     entry_bytes = 4 * dim + 4 * m
-    raw = synth_raw(n, entry_bytes // 4, float_cols=dim)
+    raw = synth_raw_auto(n, entry_bytes // 4, float_cols=dim)
     eng = DevicePianoEngine(n, entry_bytes, m, raw, 8)
     np.asarray(eng.db[-1, -1, -1])
     print("db up", flush=True)
