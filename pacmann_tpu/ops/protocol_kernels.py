@@ -29,6 +29,18 @@ into one Pallas program each:
 
 Both kernels run interpreted off-TPU (tests) and compiled on TPU; NumPy
 twins below define the semantics.
+
+MEASURED VERDICT (real v5e, probe_select_finish, 2026-08-18, SIFT1M
+shapes Q=96 P=16): claim_select 2.00 ms/step vs the XLA owner-fixpoint's
+2.06 — a tie (the XLA select is no longer op-count-bound after the
+round-4 fixpoint rewrite). refresh_parity LOSES 7x: full-batch finish
+14.50 ms/step vs XLA's 2.10 — the kernel still streams the whole
+(Hp, Ep) parity block per partition (the in-place alias writes every
+visited block) while serializing a Q=96 scalar loop per grid step; the
+XLA gather+select form moves the same bytes at ~100 GB/s with no per-row
+loop. The production route stays "xla" (device_engine._DEFAULT_ROUTE);
+these kernels remain as the measured-negative result and as the
+route-equivalence stress surface for the claim fixpoint.
 """
 
 from __future__ import annotations
@@ -72,22 +84,26 @@ def _claim_kernel(cq_ref, oq_ref, rq_ref, pc_ref, col_ref,
     big = jnp.int32(Hh * 128)
 
     def body(q, claimed):
+        # `claimed` rides the loop as i32 0/1: Mosaic cannot legalize
+        # scf.for with loop-carried i1 vectors (vector<8x128xi1> carries
+        # fail "failed to legalize operation 'scf.for'" on the real
+        # toolchain — measured 2026-08-18; interpret mode accepted bools)
         ck = cq_ref[p, q]
         off = oq_ref[p, q]
         real = rq_ref[p, q]
         col = col_ref[0, pl.ds(ck, 1)][0].astype(jnp.int32)   # (Hh, 128)
-        elig = (col == off) & (pc != ck) & jnp.logical_not(claimed)
+        elig = (col == off) & (pc != ck) & (claimed == 0)
         cand = jnp.where(elig, h2, big)
         m = jnp.min(cand)
         fnd = jnp.logical_and(m < big, real != 0)
         mv = jnp.where(fnd, m, big)
-        claimed = claimed | (h2 == mv)
+        claimed = claimed | (h2 == mv).astype(jnp.int32)
         hit_ref[p, q] = jnp.where(fnd, m, 0)
         fnd_ref[p, q] = fnd.astype(jnp.int32)
         return claimed
 
     # padded slots (h >= Hp) start claimed so they are never eligible
-    jax.lax.fori_loop(0, Q, body, h2 >= Hp)
+    jax.lax.fori_loop(0, Q, body, (h2 >= Hp).astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("C", "dpp", "interpret"))

@@ -156,7 +156,10 @@ def _resolve(route, env_var, default):
 # 2.0x faster warm (61.6 vs 121.5 ms at SIFT1M shape, 403 M evals/s) with
 # a 17 s cold compile vs ~1100 s for the lax.map circuit over a congested
 # tunnel; the online step-PRF kernel is timing-neutral. Protocol kernels:
-# "xla" until probe_select_finish shows a measured win; then "auto".
+# "xla" — MEASURED verdict (probe_select_finish on real v5e, round 4):
+# pallas claim ties the XLA owner-fixpoint (2.00 vs 2.06 ms/step) and
+# pallas refresh loses 7x (finish 14.50 vs 2.10 ms/step); see
+# ops/protocol_kernels.py module docstring.
 _DEFAULT_ROUTE = "xla"
 _DEFAULT_AES_ROUTE = "auto"
 
@@ -516,7 +519,8 @@ class DevicePianoEngine:
                  raw: np.ndarray, failure_prob_log2: int,
                  verbose: bool = False, measure_comm: bool = False,
                  table_free: bool = False,
-                 kernel_route: str | None = None):
+                 kernel_route: str | None = None,
+                 packed_db=None):
         """measure_comm: run each batch through the split client->server->
         client pipeline instead of the fused program, materializing the
         observable messages (offset upload, entry download) on the host
@@ -534,9 +538,16 @@ class DevicePianoEngine:
         $PACMANN_PROTOCOL_ROUTE, then the validated default (currently
         "xla"); "auto" = the Pallas claim/refresh kernels on TPU, dense
         XLA elsewhere; "pallas"/"xla" force a path (tests run the kernels
-        interpreted off-TPU this way)."""
+        interpreted off-TPU this way).
+
+        packed_db: an already-packed (S, P, C*k, 128) u32 device buffer;
+        raw is ignored (pass None). For DB sizes where raw + packed cannot
+        coexist in HBM (the SIFT100M per-chip shard is 11.9 GiB packed on
+        a 16 GB chip) the caller synthesizes/loads straight into the
+        packed layout — see scripts/probe_100m_shard.py."""
         entry_u32 = entry_bytes // 4
-        raw = raw.reshape(db_size, entry_u32)
+        if packed_db is None:
+            raw = raw.reshape(db_size, entry_u32)
         self.config = derive_batch_params(
             db_size, entry_bytes, batch_size, failure_prob_log2)
         c = self.config
@@ -551,7 +562,14 @@ class DevicePianoEngine:
         # partition, no concatenate (matters at 1 GB+ on a slow host CPU).
         # Partition axis second: chunk streaming scans lead on S, and the
         # multi-chip engine shards the partition axis (parallel/sharding.py).
-        self.db = self._pack_db(raw)
+        if packed_db is not None:
+            want = (p.set_size, P, p.chunk_size * self.k, 128)
+            if tuple(packed_db.shape) != want:
+                raise ValueError(
+                    f"packed_db shape {packed_db.shape} != {want}")
+            self.db = packed_db
+        else:
+            self.db = self._pack_db(raw)
         self.state = None
         self.table_free = table_free
         self.kernel_route = kernel_route
