@@ -468,6 +468,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                 verbose: bool = False,
                 quality_gate: bool | None = None,
                 keep_nearest: int = 16,
+                corridor_step: int = 16, corridor_par: int = 2,
                 precompile: bool | None = None) -> np.ndarray:
     """vectors (n, d) float32 -> graph (n, m) int32.
 
@@ -482,6 +483,14 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
 
     keep_nearest: reserved nearest-neighbor slots per vertex in the final
     prunes (see _robust_prune_batch) — the recall@k harvest edges.
+
+    corridor_step/corridor_par: beam budget of the phase-2b self-search
+    pass (search_paths_all) whose expansion corridor becomes the
+    navigation-highway candidates — the in-house stand-in for NGT's
+    per-vertex candidate search (build_graph.go:384). A larger budget
+    yields longer approach corridors (more, and more diverse, highway
+    candidates per vertex) at build time only; query-time cost is
+    unchanged. Sweepable via probe_continuum_recall.
 
     precompile: AOT-compile every phase program concurrently in background
     threads while earlier phases execute. Every shape is known up front, so
@@ -531,8 +540,8 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                        wide=False)
         wide_kw = dict(nsn=2, n_random=16, block=blk, n_real=n,
                        out_m=cand_local, wide=True)
-        paths_kw = dict(n=n, m=m, max_step=16, parallel=2,
-                        block=min(blk, 1024))
+        paths_kw = dict(n=n, m=m, max_step=corridor_step,
+                        parallel=corridor_par, block=min(blk, 1024))
         km_s = jax.eval_shape(
             functools.partial(_kmeans_bootstrap, **km_kw), vec_s, key_s)
         wide_s = jax.eval_shape(
@@ -670,7 +679,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     # pool's width so one compiled prune program serves both calls — a
     # ~90 s remote-compile saving per process, output unchanged (inf
     # candidates sort last and are never accepted).
-    paths_w = 16 * 2  # search_paths_all max_step * parallel below
+    paths_w = corridor_step * corridor_par  # search_paths_all width below
     pad_i = jnp.zeros((npad, paths_w), jnp.int32)
     pad_d = jnp.full((npad, paths_w), jnp.inf, wide_d.dtype)
     nav = _run(
@@ -694,7 +703,8 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         rng.choice(n, n_starts, replace=False), jnp.int32)
     paths = _run(
         "paths", search_paths_all, vectors_dev, nav, starts, sub4,
-        n=n, m=m, max_step=16, parallel=2, block=min(blk, 1024))
+        n=n, m=m, max_step=corridor_step, parallel=corridor_par,
+        block=min(blk, 1024))
     path_d = jnp.where(
         (paths >= 0) & (paths != jnp.arange(npad)[:, None]),
         jnp.zeros((), wide_d.dtype), jnp.inf)

@@ -26,8 +26,13 @@ def main():
     ap.add_argument("--n", type=int, default=262144)
     ap.add_argument("--rounds", type=int, nargs="+", default=[5, 8])
     ap.add_argument("--keep", type=int, nargs="+", default=[0])
+    ap.add_argument("--corridor", type=str, nargs="+", default=["16:2"],
+                    help="corridor beam budgets as max_step:parallel")
     ap.add_argument("--queries", type=int, default=200)
     ap.add_argument("--latent", type=int, default=16)
+    ap.add_argument("--beams", type=str, nargs="+",
+                    default=["20:3", "20:6", "32:3"],
+                    help="query beam budgets as step:parallel")
     args = ap.parse_args()
 
     n, d, m = args.n, 128, 32
@@ -49,15 +54,19 @@ def main():
 
     for rounds in args.rounds:
       for keep in args.keep:
+       for corr in args.corridor:
+        cs, cp = (int(x) for x in corr.split(":"))
         t0 = time.time()
         graph = np.asarray(
             build_graph(vectors, m, rounds=rounds, seed=0, verbose=True,
-                        keep_nearest=keep),
+                        keep_nearest=keep, corridor_step=cs,
+                        corridor_par=cp),
             np.int64)
-        print(f"== rounds={rounds} keep={keep}: build {time.time()-t0:.1f}s",
-              flush=True)
+        print(f"== rounds={rounds} keep={keep} corridor={cs}:{cp}: "
+              f"build {time.time()-t0:.1f}s", flush=True)
         eng = PlaintextEngine(vectors, graph)
-        for step, par in [(20, 3), (20, 6), (32, 3)]:
+        for beam in args.beams:
+            step, par = (int(x) for x in beam.split(":"))
             ids, _ = eng.search(queries, 10, step, par, seed=1)
             r10 = compute_recall(gnd, ids, 10)
             r1 = compute_recall(gnd[:, :1], ids[:, :1], 1)
