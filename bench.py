@@ -282,6 +282,7 @@ def main() -> int:
         fs.search(q, k=10, max_step=20, parallel=3, seed=seed0)  # compile
         comp = []
         fs.maintenance_s = 0.0
+        fs.refreshes = 0
         fs.fetch_stats[:] = 0
         for rep in range(reps):
             fs.ensure_budget(20, G, 3)
@@ -289,6 +290,14 @@ def main() -> int:
             fs.search(q, k=10, max_step=20, parallel=3, seed=seed0 + 1 + rep)
             comp.append(time.perf_counter() - t2 - fs.last_maintenance_s)
         maint_ms = fs.maintenance_s * 1000 / (reps * G)
+        # diagnostics: refresh count + per-refresh cost separate the two
+        # possible maintenance inflations (under-drained windows vs
+        # slower-in-context refreshes)
+        fused_time.last_diag = {
+            "refreshes": fs.refreshes,
+            "per_refresh_s": round(fs.maintenance_s
+                                   / max(fs.refreshes, 1), 4),
+        }
         # analytic contract: expected served/wanted from the FCFS quota
         # binomial + 2^-fail hint miss at the measured avg wanted/step —
         # measured success should sit within a few % of this bound
@@ -301,10 +310,13 @@ def main() -> int:
     fused_query_ms, _, _, _ = fused_time(1, 9)
     fused16_ms_per_query, maint_ms_per_query, succ16, bound16 = fused_time(
         16, 20, reps=5)
+    diag16 = fused_time.last_diag
     fused32_ms_per_query, maint32_ms_per_query, succ32, bound32 = fused_time(
         32, 40, reps=5)
+    diag32 = fused_time.last_diag
     fused64_ms_per_query, maint64_ms_per_query, succ64, bound64 = fused_time(
         64, 60, reps=5)
+    diag64 = fused_time.last_diag
 
     db_gb = n * entry_bytes / 1e9
     scale = n / 1_000_000.0
@@ -340,6 +352,9 @@ def main() -> int:
             "fused16_success_bound": round(bound16, 4),
             "fused32_success_bound": round(bound32, 4),
             "fused64_success_bound": round(bound64, 4),
+            "fused16_refresh_diag": diag16,
+            "fused32_refresh_diag": diag32,
+            "fused64_refresh_diag": diag64,
             "reference_query_compute_ms": 55.9,
             "reference_maintenance_ms": 115.0,
             "platform": jax.devices()[0].platform,

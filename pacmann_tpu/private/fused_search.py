@@ -289,7 +289,7 @@ class FusedPrivateSearch:
         self.start_ids = jnp.asarray(start_ids, jnp.int32)
         self.start_vecs = jnp.asarray(start_vecs, jnp.float32)
         self.start_nbrs = jnp.asarray(start_nbrs, jnp.int32)
-        self.refreshes = 0          # mid-group hint refreshes performed
+        self.refreshes = 0          # hint refreshes performed (any cause)
         # maintenance = hint-regeneration time, reported SEPARATELY from
         # query compute exactly like the reference report's two lines
         # ("avg compute per query" vs "amortized maintenance per query",
@@ -309,6 +309,7 @@ class FusedPrivateSearch:
             self.engine.preprocessing()
         dt = time.perf_counter() - t0
         self.maintenance_s += dt
+        self.refreshes += 1
         return dt
 
     def _steps_fit(self, quota: int) -> int:
@@ -409,8 +410,6 @@ class FusedPrivateSearch:
                     or e.queries_made_in_partition + need + 10
                     >= p.max_query_num):
                 self.last_maintenance_s += self._refresh()
-                if base > 0:
-                    self.refreshes += 1
             e.state, beam, stats = _fused_segment(
                 e.db, e.state, beam, queries_d, keys,
                 jnp.int32(base), jnp.int32(seg), **kw)
