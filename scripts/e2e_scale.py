@@ -126,6 +126,11 @@ def main():
     ap.add_argument("--latent", type=int, default=16,
                     help="intrinsic dim of cluster centers (0 = full-d "
                          "equidistant centers, the adversarial variant)")
+    ap.add_argument("--keep", type=int, default=16,
+                    help="keep_nearest harvest slots in the final prunes")
+    ap.add_argument("--corridor", type=str, default="16:2",
+                    help="phase-2b self-search beam budget max_step:parallel"
+                         " (the highway-candidate generator)")
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--k", type=int, default=10)
@@ -134,14 +139,18 @@ def main():
     args = ap.parse_args()
 
     n, d, m = args.n, 128, 32
+    cs, cp = (int(x) for x in args.corridor.split(":"))
     tag = (f"{n}_uniform" if args.uniform
            else f"{n}_continuum_l{args.latent}dev" if args.continuum
            and args.device_synth
            else f"{n}_continuum_l{args.latent}" if args.continuum
            else f"{n}_clustered_l{args.latent}")
+    if (args.keep, cs, cp) != (16, 16, 2):   # recipe-bearing cache tag
+        tag += f"_k{args.keep}c{cs}x{cp}"
     gpath = f"/tmp/graph_{tag}.npy"
     report_path = f"/tmp/e2e_{tag}_report.json"
     report = {"n": n, "d": d, "m": m, "rounds": args.rounds,
+              "keep_nearest": args.keep, "corridor": args.corridor,
               "clustered": not args.uniform, "continuum": args.continuum,
               "latent": args.latent,
               "k": args.k,
@@ -167,7 +176,10 @@ def main():
     else:
         t0 = time.time()
         graph = np.asarray(build_graph(vectors, m, rounds=args.rounds,
-                                       seed=0, verbose=True), np.int64)
+                                       seed=0, verbose=True,
+                                       keep_nearest=args.keep,
+                                       corridor_step=cs, corridor_par=cp),
+                           np.int64)
         build_s = time.time() - t0
         report["build_s"] = round(build_s, 1)
         print(f"graph built: {build_s:.1f}s", flush=True)
