@@ -675,6 +675,11 @@ class DevicePianoEngine:
         self.finished_batch_num = 0
         self.queries_made_in_partition = 0
         self.cache = {}
+        # drop the spent window's buffers BEFORE building the new one: a
+        # refresh otherwise holds two full hint states (+ the u32 table
+        # transient) — at the SIFT100M per-chip shard that is the
+        # difference between ~15.2 GiB peak and fitting 16 GB HBM
+        self.state = None
         if rng is not None:
             self._rng = rng
         p = self.params
