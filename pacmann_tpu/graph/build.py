@@ -469,6 +469,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                 quality_gate: bool | None = None,
                 keep_nearest: int = 16,
                 corridor_step: int = 16, corridor_par: int = 2,
+                corridor_passes: int = 1,
                 precompile: bool | None = None) -> np.ndarray:
     """vectors (n, d) float32 -> graph (n, m) int32.
 
@@ -491,6 +492,14 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     yields longer approach corridors (more, and more diverse, highway
     candidates per vertex) at build time only; query-time cost is
     unchanged. Sweepable via probe_continuum_recall.
+
+    corridor_passes: run the corridor search this many times, each pass
+    seeded from a DISJOINT random subset of the sqrt(n) start set, and
+    concatenate the corridors (total width passes*step*par). Passes give
+    corridor diversity at the per-program beam shape cap: single-pass
+    visited tables past cap ~1.1k crash the TPU worker at n=1M on this
+    toolchain (libtpu fault, reproduced in probe_corridor_fault.py), so
+    budgets beyond 16:2 ride extra passes instead of a bigger table.
 
     precompile: AOT-compile every phase program concurrently in background
     threads while earlier phases execute. Every shape is known up front, so
@@ -525,6 +534,15 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     Lad = max(2, min(12, int(np.log2(max(K - 1, 4)))))
     n_starts = min(n, int(np.sqrt(n)))
     cap = max(8 * m, 256)
+    # corridor-phase block: the vmapped beam search carries a
+    # cap-proportional visited table per query; at the default 16:2 budget
+    # block 1024 is validated, but larger corridors at 1M faulted the TPU
+    # (reproducible UNAVAILABLE at 24:3/cap=2307/block=1024) — scale the
+    # block down to hold the per-block state roughly constant
+    corr_cap = corridor_par + corridor_step * corridor_par * m
+    blk_paths = min(blk, 1024 if corr_cap <= 1150
+                    else 512 if corr_cap <= 2400 else 256)
+    ns_pass = max(1, n_starts // corridor_passes)
     if precompile:
         import concurrent.futures as _cf
 
@@ -541,7 +559,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         wide_kw = dict(nsn=2, n_random=16, block=blk, n_real=n,
                        out_m=cand_local, wide=True)
         paths_kw = dict(n=n, m=m, max_step=corridor_step,
-                        parallel=corridor_par, block=min(blk, 1024))
+                        parallel=corridor_par, block=blk_paths)
         km_s = jax.eval_shape(
             functools.partial(_kmeans_bootstrap, **km_kw), vec_s, key_s)
         wide_s = jax.eval_shape(
@@ -552,10 +570,10 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
             km_s[1], km_s[2], km_s[3], km_s[4], km_s[5], key_s)
         paths_s = jax.eval_shape(
             functools.partial(search_paths_all, **paths_kw),
-            vec_s, graph_s, sds((n_starts,), i32), key_s)
+            vec_s, graph_s, sds((ns_pass,), i32), key_s)
         dd = wide_s[1].dtype
         C2 = (wide_s[0].shape[1] + lad_s.shape[1] + n_far
-              + paths_s.shape[1])
+              + paths_s.shape[1] * corridor_passes)
         pool = _cf.ThreadPoolExecutor(max_workers=6)
 
         def _sub(name, fn, args, statics):
@@ -571,7 +589,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
              (km_s[1], km_s[2], km_s[3], km_s[4], km_s[5], key_s),
              dict(L=Lad))
         _sub("paths", search_paths_all,
-             (vec_s, graph_s, sds((n_starts,), i32), key_s), paths_kw)
+             (vec_s, graph_s, sds((ns_pass,), i32), key_s), paths_kw)
         _sub("prune", _prune_device,
              (vec_s, sds((npad, C2), i32), sds((npad, C2), dd)),
              dict(m=m, block=blk, keep=keep_nearest))
@@ -679,7 +697,8 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     # pool's width so one compiled prune program serves both calls — a
     # ~90 s remote-compile saving per process, output unchanged (inf
     # candidates sort last and are never accepted).
-    paths_w = corridor_step * corridor_par  # search_paths_all width below
+    # total corridor width across passes (search_paths_all width below)
+    paths_w = corridor_step * corridor_par * corridor_passes
     pad_i = jnp.zeros((npad, paths_w), jnp.int32)
     pad_d = jnp.full((npad, paths_w), jnp.inf, wide_d.dtype)
     nav = _run(
@@ -701,10 +720,17 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     # path is what creates durable navigation highways
     starts = jnp.asarray(
         rng.choice(n, n_starts, replace=False), jnp.int32)
-    paths = _run(
-        "paths", search_paths_all, vectors_dev, nav, starts, sub4,
-        n=n, m=m, max_step=corridor_step, parallel=corridor_par,
-        block=min(blk, 1024))
+    # one corridor search per pass, each seeded from a disjoint random
+    # start subset (the choice above is unordered, so contiguous slices
+    # are random subsets); different seeds -> genuinely different
+    # approach paths. All passes share ONE compiled program.
+    paths = jnp.concatenate([
+        _run("paths", search_paths_all, vectors_dev, nav,
+             starts[i * ns_pass:(i + 1) * ns_pass],
+             jax.random.fold_in(sub4, i),
+             n=n, m=m, max_step=corridor_step, parallel=corridor_par,
+             block=blk_paths)
+        for i in range(corridor_passes)], axis=1)
     path_d = jnp.where(
         (paths >= 0) & (paths != jnp.arange(npad)[:, None]),
         jnp.zeros((), wide_d.dtype), jnp.inf)

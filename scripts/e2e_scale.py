@@ -139,14 +139,15 @@ def main():
     args = ap.parse_args()
 
     n, d, m = args.n, 128, 32
-    cs, cp = (int(x) for x in args.corridor.split(":"))
+    _cf = [int(x) for x in args.corridor.split(":")]
+    cs, cp, cn = _cf[0], _cf[1], (_cf[2] if len(_cf) > 2 else 1)
     tag = (f"{n}_uniform" if args.uniform
            else f"{n}_continuum_l{args.latent}dev" if args.continuum
            and args.device_synth
            else f"{n}_continuum_l{args.latent}" if args.continuum
            else f"{n}_clustered_l{args.latent}")
-    if (args.keep, cs, cp) != (16, 16, 2):   # recipe-bearing cache tag
-        tag += f"_k{args.keep}c{cs}x{cp}"
+    if (args.keep, cs, cp, cn) != (16, 16, 2, 1):  # recipe-bearing tag
+        tag += f"_k{args.keep}c{cs}x{cp}x{cn}"
     gpath = f"/tmp/graph_{tag}.npy"
     report_path = f"/tmp/e2e_{tag}_report.json"
     report = {"n": n, "d": d, "m": m, "rounds": args.rounds,
@@ -178,7 +179,8 @@ def main():
         graph = np.asarray(build_graph(vectors, m, rounds=args.rounds,
                                        seed=0, verbose=True,
                                        keep_nearest=args.keep,
-                                       corridor_step=cs, corridor_par=cp),
+                                       corridor_step=cs, corridor_par=cp,
+                                       corridor_passes=cn),
                            np.int64)
         build_s = time.time() - t0
         report["build_s"] = round(build_s, 1)

@@ -55,12 +55,13 @@ def main():
     for rounds in args.rounds:
       for keep in args.keep:
        for corr in args.corridor:
-        cs, cp = (int(x) for x in corr.split(":"))
+        f = [int(x) for x in corr.split(":")]
+        cs, cp, cn = f[0], f[1], (f[2] if len(f) > 2 else 1)
         t0 = time.time()
         graph = np.asarray(
             build_graph(vectors, m, rounds=rounds, seed=0, verbose=True,
                         keep_nearest=keep, corridor_step=cs,
-                        corridor_par=cp),
+                        corridor_par=cp, corridor_passes=cn),
             np.int64)
         print(f"== rounds={rounds} keep={keep} corridor={cs}:{cp}: "
               f"build {time.time()-t0:.1f}s", flush=True)
