@@ -63,7 +63,7 @@ def main():
                         keep_nearest=keep, corridor_step=cs,
                         corridor_par=cp, corridor_passes=cn),
             np.int64)
-        print(f"== rounds={rounds} keep={keep} corridor={cs}:{cp}: "
+        print(f"== rounds={rounds} keep={keep} corridor={cs}:{cp}:{cn}: "
               f"build {time.time()-t0:.1f}s", flush=True)
         eng = PlaintextEngine(vectors, graph)
         for beam in args.beams:
