@@ -185,25 +185,50 @@ def _kernel_ws() -> int:
 
 def _pack_table_inputs(T: int, S: int, ws: int):
     """PRF input planes for the (T, S) table lattice, lane-padded to whole
-    (ws, 128) word blocks. Returns (s0 (8, 16, Ls, 128) u32, pad)."""
+    (ws, 128) word blocks. Returns (s0 (8, 16, Ls, 128) u32, pad).
+
+    COLUMN-MAJOR slot assignment: word-group g, bit-slot r evaluates
+    lattice point n = r*L + g (L = pad//32), not the row-major n = 32g+r.
+    The assignment is a pure relabeling (the kernel is pointwise in
+    lanes), but it lets _unpack_tables emit the final linear order with a
+    plain reshape — the row-major form needed a (P, L, 32)-ish transpose
+    whose tiny-minor-dims tiling padded 1.1 GB to 70 GB at the SIFT100M
+    tier (measured compile OOM). All bit shuffles here ride
+    transpose32_cols: the 32-axis is swapped with static slices and the
+    huge L axis stays lane-minor."""
+    from pacmann_tpu.ops.bitops import transpose32_cols
+
     n = T * S
     lane_pad = 32 * ws * 128                  # evals per (ws, 128) word block
     pad = -(-n // lane_pad) * lane_pad
-    i = jax.lax.broadcasted_iota(jnp.uint32, (pad, 1), 0)[:, 0]
-    lo = i % np.uint32(S)
-    hi = (i // np.uint32(S)) << np.uint32(3)  # (tag<<35)+x framing, hi word
-    zeros = jnp.zeros_like(lo)
-    s0 = aes_ops._pack_words([lo, hi, zeros, zeros])    # (8, 16, pad//32)
-    return s0.reshape(8, 16, pad // 32 // 128, 128), pad
+    L = pad // 32
+    # point index per (slot r, group g): n = r*L + g
+    nidx = (jax.lax.broadcasted_iota(jnp.uint32, (32, L), 0) * np.uint32(L)
+            + jax.lax.broadcasted_iota(jnp.uint32, (32, L), 1))
+    lo = nidx % np.uint32(S)
+    hi = (nidx // np.uint32(S)) << np.uint32(3)  # (tag<<35)+x framing, hi
+
+    def word_planes(w):                       # (32, L) values -> (8, 4, L)
+        t = transpose32_cols(w)               # plane p at [p, g]
+        return jnp.transpose(t.reshape(4, 8, L), (1, 0, 2))
+
+    z = jnp.zeros((8, 4, L), jnp.uint32)
+    s0 = jnp.concatenate(
+        [word_planes(lo), word_planes(hi), z, z], axis=1)   # (8, 16, L)
+    return s0.reshape(8, 16, L // 128, 128), pad
 
 
 def _unpack_tables(out, P, T, S, pad, chunk_mask):
-    """(P, 8, 4, Ls, 128) output planes -> (P, T, S) u32 offsets (mirrors
-    aes._unpack_word's axis walk)."""
+    """(P, 8, 4, Ls, 128) output planes -> (P, T, S) u32 offsets. With the
+    column-major slot assignment of _pack_table_inputs, slot (r, g) holds
+    point r*L + g, so the (P, 32, L) value block IS the linear order."""
+    from pacmann_tpu.ops.bitops import transpose32_cols
+
     n = T * S
-    blk = out.reshape(P, 8, 4, pad // 32)               # (P, 8b, 4j, L)
-    arr = jnp.transpose(blk, (0, 3, 2, 1)).reshape(-1, 32)  # col 8j+b
-    vals = aes_ops.transpose32(arr).reshape(P, pad)
+    L = pad // 32
+    blk = out.reshape(P, 8, 4, L)                       # (P, 8b, 4j, L)
+    cols = jnp.transpose(blk, (0, 2, 1, 3)).reshape(P, 32, L)  # col 8j+b
+    vals = transpose32_cols(cols).reshape(P, pad)       # [p, r*L+g]
     return (vals[:, :n] & jnp.uint32(chunk_mask)).reshape(P, T, S)
 
 

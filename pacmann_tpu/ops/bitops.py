@@ -35,6 +35,27 @@ def transpose32(a):
     return a
 
 
+def transpose32_cols(a):
+    """Column-major twin of transpose32: a (..., 32, N) u32 where axis -2
+    holds each block's 32 words and axis -1 rides along (N independent
+    blocks). Same bit-matrix transpose, identical to
+    `transpose32(a.swapaxes(-1, -2)).swapaxes(-1, -2)` — but the butterfly
+    swaps index the SMALL 32-axis with static slices while the huge block
+    axis stays minor/lane-aligned. Exists because materializing (L, 32)
+    rows at the SIFT100M table scale made XLA emit a copy whose
+    tiny-minor-dims tiling padded 1.1 GB to 70 GB of HBM (compile OOM)."""
+    for j, mask in _SWAPS:
+        sh = a.shape
+        b = a.reshape(sh[:-2] + (32 // (2 * j), 2, j) + sh[-1:])
+        lo = b[..., 0, :, :]
+        hi = b[..., 1, :, :]
+        t = (lo >> j ^ hi) & jnp.uint32(mask)
+        lo = lo ^ (t << j)
+        hi = hi ^ t
+        a = jnp.stack([lo, hi], axis=-3).reshape(sh)
+    return a
+
+
 def transpose32_np(a: np.ndarray) -> np.ndarray:
     """NumPy twin of transpose32 (host-side tests / reference)."""
     a = a.astype(np.uint32)

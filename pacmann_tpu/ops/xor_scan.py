@@ -205,37 +205,43 @@ def xor_scan_parts(db4, offsets, skip, k: int):
 # paid a full parity-array round trip per chunk (~48 GB at SIFT1M scale).
 
 
-def _hintgen_mm_kernel(off_ref, db_ref, out_ref, *, C: int, bb: int):
-    """Grid (P, hint-blocks, S), chunks innermost.
+def _hintgen_mm_kernel(off_ref, db_ref, out_ref, *, Cb: int, bb: int):
+    """Grid (P, hint-blocks, S, C//Cb), chunk sub-blocks innermost.
 
     off_ref (1, S, bb) i32: this block's offsets for ALL chunks (value C =
     skip) — the whole sheet rides in VMEM so it is DMA'd once per block,
     and row s is a dynamic sublane slice (Mosaic-legal; dynamic LANE
-    slicing is not); db_ref (1, 1, C, E) u32: chunk s of partition p,
+    slicing is not); db_ref (1, 1, Cb, E) u32: sub-block t of chunk s,
     entry-major; out_ref (1, bb, E) u32: the parity block, VMEM-resident
-    across the whole chunk stream.
+    across the whole chunk stream. The chunk axis is blocked because a
+    full (C, E) chunk + its (C, bb) one-hot overflow the 16 MB scoped
+    VMEM at the SIFT100M tier (C=8192: 8.4+8.4 MB; measured compile
+    OOM); offsets outside [t*Cb, (t+1)*Cb) one-hot to zero rows, which
+    are XOR-neutral, so blocking changes nothing semantically.
     """
     s = pl.program_id(2)
+    t = pl.program_id(3)
 
-    @pl.when(s == 0)
+    @pl.when((s == 0) & (t == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     # Mosaic has no u32<->f32 casts: work on the same bits as i32 (logical
     # shifts keep plane extraction exact) and bitcast back at the end.
-    chunk = jax.lax.bitcast_convert_type(db_ref[0, 0], jnp.int32)  # (C, E)
+    chunk = jax.lax.bitcast_convert_type(db_ref[0, 0, 0], jnp.int32)  # (Cb, E)
     offs = off_ref[0, pl.ds(s, 1), :]                # (1, bb) i32
-    # one-hot, transposed: Mt[c, b] = (offs[b] == c); skips (offs == C)
-    # match no row and contribute zero.
-    offm = jnp.broadcast_to(offs, (C, bb))
-    colm = jax.lax.broadcasted_iota(jnp.int32, (C, bb), 0)
-    mt = (offm == colm).astype(jnp.bfloat16)         # (C, bb)
+    # one-hot, transposed: Mt[c, b] = (offs[b] == t*Cb + c); skips
+    # (offs == C) and out-of-block offsets match no row -> zero.
+    offm = jnp.broadcast_to(offs, (Cb, bb))
+    colm = (jax.lax.broadcasted_iota(jnp.int32, (Cb, bb), 0)
+            + t * jnp.int32(Cb))
+    mt = (offm == colm).astype(jnp.bfloat16)         # (Cb, bb)
 
     g = jnp.zeros(out_ref.shape[1:], jnp.int32)      # (bb, E)
     for plane in range(4):
         xp = (jax.lax.shift_right_logical(chunk, 8 * plane)
               & jnp.int32(0xFF)).astype(jnp.float32).astype(
-                  jnp.bfloat16)                      # (C, E), values 0..255
+                  jnp.bfloat16)                      # (Cb, E), values 0..255
         gp = jax.lax.dot_general(
             mt, xp, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # (bb, E) exact ints
@@ -243,7 +249,7 @@ def _hintgen_mm_kernel(off_ref, db_ref, out_ref, *, C: int, bb: int):
     out_ref[0] = out_ref[0] ^ jax.lax.bitcast_convert_type(g, jnp.uint32)
 
 
-def _hintgen_mm_kernel_s8(off_ref, db_ref, out_ref, *, C: int, bb: int):
+def _hintgen_mm_kernel_s8(off_ref, db_ref, out_ref, *, Cb: int, bb: int):
     """int8 variant of _hintgen_mm_kernel (same grid/block contract).
 
     Byte planes ride the MXU as SIGNED int8: reinterpreting a byte v as s8
@@ -252,16 +258,18 @@ def _hintgen_mm_kernel_s8(off_ref, db_ref, out_ref, *, C: int, bb: int):
     run at 2x the bf16 MXU rate on v5e.
     """
     s = pl.program_id(2)
+    t = pl.program_id(3)
 
-    @pl.when(s == 0)
+    @pl.when((s == 0) & (t == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    chunk = jax.lax.bitcast_convert_type(db_ref[0, 0], jnp.int32)  # (C, E)
+    chunk = jax.lax.bitcast_convert_type(db_ref[0, 0, 0], jnp.int32)  # (Cb, E)
     offs = off_ref[0, pl.ds(s, 1), :]                # (1, bb) i32
-    offm = jnp.broadcast_to(offs, (C, bb))
-    colm = jax.lax.broadcasted_iota(jnp.int32, (C, bb), 0)
-    mt = (offm == colm).astype(jnp.int8)             # (C, bb) one-hot
+    offm = jnp.broadcast_to(offs, (Cb, bb))
+    colm = (jax.lax.broadcasted_iota(jnp.int32, (Cb, bb), 0)
+            + t * jnp.int32(Cb))
+    mt = (offm == colm).astype(jnp.int8)             # (Cb, bb) one-hot
 
     g = jnp.zeros(out_ref.shape[1:], jnp.int32)      # (bb, E)
     for plane in range(4):
@@ -382,22 +390,30 @@ def _hintgen_mm_padded(dbE, offsets, C, bb, interpret, dot="s8"):
     Returns (P, Tp, E) u32."""
     P, S, Tp = offsets.shape
     E = dbE.shape[3]
-    grid = (P, Tp // bb, S)
-    kernel = functools.partial(_MM_KERNELS[dot], C=C, bb=bb)
+    # chunk axis blocked to Cb <= 1024: a full (C, E) chunk + its (C, bb)
+    # one-hot overflow the 16 MB scoped VMEM at the SIFT100M tier
+    # (C=8192: 8.4 + 8.4 MB; measured compile OOM). Offsets outside
+    # [t*Cb, (t+1)*Cb) one-hot to zero rows, which are XOR-neutral, so
+    # the split changes nothing semantically. Cb == C at SIFT1M and below.
+    Cb = min(C, 1024)
+    dbB = dbE.reshape(S, P, C // Cb, Cb, E)
+    grid = (P, Tp // bb, S, C // Cb)
+    kernel = functools.partial(_MM_KERNELS[dot], Cb=Cb, bb=bb)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((P, Tp, E), jnp.uint32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, S, bb), lambda p, hb, s: (p, 0, hb),
+            pl.BlockSpec((1, S, bb), lambda p, hb, s, t: (p, 0, hb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C, E), lambda p, hb, s: (s, p, 0, 0),
+            pl.BlockSpec((1, 1, 1, Cb, E),
+                         lambda p, hb, s, t: (s, p, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bb, E), lambda p, hb, s: (p, hb, 0),
+        out_specs=pl.BlockSpec((1, bb, E), lambda p, hb, s, t: (p, hb, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(offsets, dbE)
+    )(offsets, dbB)
 
 
 @functools.partial(jax.jit, static_argnames=("C", "pad_to"))

@@ -124,8 +124,11 @@ def _prep_fused(db4, masks, repl_off, *, T: int, S: int, C: int, Hp: int,
     parities = xor_hintgen_mm(db4, table, skip, k)       # (P, T, Ep)
     repl_val = _gather_repl(db4, repl_off, k=k, Ep=Ep)   # (P, S, R, Ep)
     od = _off_dtype(C)
+    # swap in u32 THEN narrow: the narrow-dtype transpose lowers to a
+    # packed-sublane copy that measured 6.7x slower at the SIFT100M shard
+    # shapes (168 s vs 25 s, probe_prep_100m_phases)
+    slot_col = jnp.swapaxes(table[:, :Hp, :], 1, 2).astype(od)  # (P, S, Hp)
     table = table.astype(od)
-    slot_col = jnp.swapaxes(table[:, :Hp, :], 1, 2)      # (P, S, Hp)
     checksum = (parities[-1, -1, -1] ^ repl_val[-1, -1, -1, -1]
                 ^ table[-1, -1, -1].astype(jnp.uint32)
                 ^ slot_col[0, 0, 0].astype(jnp.uint32))

@@ -38,6 +38,18 @@ def test_masks_to_mask16_roundtrip():
     assert np.array_equal(m16, ref)
 
 
+def test_transpose32_cols_matches_rowmajor():
+    """Column-major butterfly == transpose32 on swapped axes (the 100M
+    table unpack runs the cols form so the huge axis stays lane-minor)."""
+    from pacmann_tpu.ops.bitops import transpose32_cols, transpose32_np
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 2**32, size=(3, 32, 17), dtype=np.uint32)
+    got = np.asarray(transpose32_cols(jnp.asarray(a)))
+    want = transpose32_np(a.swapaxes(-1, -2)).swapaxes(-1, -2)
+    assert np.array_equal(got, want)
+
+
 def test_circuit_twin_matches_host_oracle():
     """The byte-leading circuit (shared verbatim with the Pallas kernel,
     modulo the tested perm primitive) is bit-exact against the

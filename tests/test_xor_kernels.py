@@ -91,6 +91,22 @@ def test_hintgen_mm_matches_oracle():
                     (dot, p)
 
 
+def test_hintgen_mm_chunk_blocking():
+    """C > 1024 routes through the chunk-sub-block grid axis (the SIFT100M
+    tier's C=8192 overflowed scoped VMEM with whole-chunk blocks); the
+    split must be XOR-neutral — bit-identical to the oracle."""
+    from pacmann_tpu.ops.xor_scan import xor_hintgen_mm
+
+    rng = np.random.default_rng(9)
+    S, P, C, k, T = 3, 1, 2048, 1, 40   # C // Cb = 2 sub-blocks
+    db4 = rng.integers(0, 2**32, size=(S, P, C * k, 128), dtype=np.uint32)
+    table = rng.integers(0, C, size=(P, T, S), dtype=np.uint32)
+    skip = rng.random((P, T, S)) < 0.25
+    got = np.asarray(xor_hintgen_mm(db4, table, skip, k))
+    want = xor_scan_np(db4[:, 0], table[0], skip[0], k)
+    assert np.array_equal(got[0], want.reshape(T, k * 128))
+
+
 def test_pallas_hintgen_interpret():
     """Partition-major Pallas hint-gen kernel (interpret mode off-TPU)."""
     from pacmann_tpu.ops.xor_scan import xor_hintgen_pallas
