@@ -205,19 +205,27 @@ def xor_scan_parts(db4, offsets, skip, k: int):
 # paid a full parity-array round trip per chunk (~48 GB at SIFT1M scale).
 
 
-def _hintgen_mm_kernel(off_ref, db_ref, out_ref, *, Cb: int, bb: int):
+def _hintgen_mm_kernel(off_ref, db_ref, out_ref, *, Cb: int, bb: int,
+                       k: int):
     """Grid (P, hint-blocks, S, C//Cb), chunk sub-blocks innermost.
 
     off_ref (1, S, bb) i32: this block's offsets for ALL chunks (value C =
     skip) — the whole sheet rides in VMEM so it is DMA'd once per block,
     and row s is a dynamic sublane slice (Mosaic-legal; dynamic LANE
-    slicing is not); db_ref (1, 1, Cb, E) u32: sub-block t of chunk s,
-    entry-major; out_ref (1, bb, E) u32: the parity block, VMEM-resident
-    across the whole chunk stream. The chunk axis is blocked because a
-    full (C, E) chunk + its (C, bb) one-hot overflow the 16 MB scoped
-    VMEM at the SIFT100M tier (C=8192: 8.4+8.4 MB; measured compile
-    OOM); offsets outside [t*Cb, (t+1)*Cb) one-hot to zero rows, which
-    are XOR-neutral, so blocking changes nothing semantically.
+    slicing is not); db_ref (1, 1, Cb*k, 128) u32: entries [t*Cb,
+    (t+1)*Cb) of chunk s in the engine's NATIVE row layout (entry c =
+    rows c*k..c*k+k-1) — consuming db4 as-is matters: reshaping to
+    (C, k*128) entry-major is a physical 1:1 copy of the whole DB on
+    TPU (lane-dim change), which doubled HBM and OOM'd the 11.9 GiB
+    SIFT100M shard. out_ref (1, bb, E=k*128) u32: the parity block,
+    VMEM-resident across the whole chunk stream.
+
+    The chunk axis is blocked (Cb <= 1024 entries) because a full chunk
+    + its one-hot overflow the 16 MB scoped VMEM at C=8192; offsets
+    outside [t*Cb, (t+1)*Cb) one-hot to zero rows, which are
+    XOR-neutral, so blocking changes nothing semantically. Entry
+    selection runs as k MXU dots — the r-th selects rows c*k+r — whose
+    (bb, 128) results concatenate on lanes to the (bb, E) entry block.
     """
     s = pl.program_id(2)
     t = pl.program_id(3)
@@ -228,28 +236,33 @@ def _hintgen_mm_kernel(off_ref, db_ref, out_ref, *, Cb: int, bb: int):
 
     # Mosaic has no u32<->f32 casts: work on the same bits as i32 (logical
     # shifts keep plane extraction exact) and bitcast back at the end.
-    chunk = jax.lax.bitcast_convert_type(db_ref[0, 0, 0], jnp.int32)  # (Cb, E)
+    rows = jax.lax.bitcast_convert_type(db_ref[0, 0], jnp.int32)  # (Cb*k, L)
+    L = rows.shape[-1]
     offs = off_ref[0, pl.ds(s, 1), :]                # (1, bb) i32
-    # one-hot, transposed: Mt[c, b] = (offs[b] == t*Cb + c); skips
-    # (offs == C) and out-of-block offsets match no row -> zero.
-    offm = jnp.broadcast_to(offs, (Cb, bb))
-    colm = (jax.lax.broadcasted_iota(jnp.int32, (Cb, bb), 0)
-            + t * jnp.int32(Cb))
-    mt = (offm == colm).astype(jnp.bfloat16)         # (Cb, bb)
-
-    g = jnp.zeros(out_ref.shape[1:], jnp.int32)      # (bb, E)
-    for plane in range(4):
-        xp = (jax.lax.shift_right_logical(chunk, 8 * plane)
-              & jnp.int32(0xFF)).astype(jnp.float32).astype(
-                  jnp.bfloat16)                      # (Cb, E), values 0..255
-        gp = jax.lax.dot_general(
-            mt, xp, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (bb, E) exact ints
-        g = g | (gp.astype(jnp.int32) << (8 * plane))
+    offm = jnp.broadcast_to(offs, (Cb * k, bb))
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Cb * k, bb), 0)
+    planes = [(jax.lax.shift_right_logical(rows, 8 * p)
+               & jnp.int32(0xFF)).astype(jnp.float32).astype(jnp.bfloat16)
+              for p in range(4)]                     # (Cb*k, L) each
+    parts = []
+    for r in range(k):
+        # Mt[row, b] = (row == (offs[b] - t*Cb)*k + r); skips (offs == C)
+        # and out-of-block offsets match no row -> zero contribution
+        mt = (rowm == (offm - t * jnp.int32(Cb)) * k + r).astype(
+            jnp.bfloat16)                            # (Cb*k, bb)
+        g = jnp.zeros((bb, L), jnp.int32)
+        for p in range(4):
+            gp = jax.lax.dot_general(
+                mt, planes[p], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (bb, L) exact ints
+            g = g | (gp.astype(jnp.int32) << (8 * p))
+        parts.append(g)
+    g = parts[0] if k == 1 else jnp.concatenate(parts, axis=1)  # (bb, k*L)
     out_ref[0] = out_ref[0] ^ jax.lax.bitcast_convert_type(g, jnp.uint32)
 
 
-def _hintgen_mm_kernel_s8(off_ref, db_ref, out_ref, *, Cb: int, bb: int):
+def _hintgen_mm_kernel_s8(off_ref, db_ref, out_ref, *, Cb: int, bb: int,
+                          k: int):
     """int8 variant of _hintgen_mm_kernel (same grid/block contract).
 
     Byte planes ride the MXU as SIGNED int8: reinterpreting a byte v as s8
@@ -264,24 +277,30 @@ def _hintgen_mm_kernel_s8(off_ref, db_ref, out_ref, *, Cb: int, bb: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    chunk = jax.lax.bitcast_convert_type(db_ref[0, 0, 0], jnp.int32)  # (Cb, E)
+    rows = jax.lax.bitcast_convert_type(db_ref[0, 0], jnp.int32)  # (Cb*k, L)
+    L = rows.shape[-1]
     offs = off_ref[0, pl.ds(s, 1), :]                # (1, bb) i32
-    offm = jnp.broadcast_to(offs, (Cb, bb))
-    colm = (jax.lax.broadcasted_iota(jnp.int32, (Cb, bb), 0)
-            + t * jnp.int32(Cb))
-    mt = (offm == colm).astype(jnp.int8)             # (Cb, bb) one-hot
-
-    g = jnp.zeros(out_ref.shape[1:], jnp.int32)      # (bb, E)
-    for plane in range(4):
-        byte = (jax.lax.shift_right_logical(chunk, 8 * plane)
+    offm = jnp.broadcast_to(offs, (Cb * k, bb))
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (Cb * k, bb), 0)
+    planes = []
+    for p in range(4):
+        byte = (jax.lax.shift_right_logical(rows, 8 * p)
                 & jnp.int32(0xFF))
         # sign-extend the byte: (x << 24) >> 24 arithmetic
-        xp = jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(byte, 24), 24).astype(jnp.int8)
-        gp = jax.lax.dot_general(
-            mt, xp, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)        # (bb, E) = w or 0
-        g = g | ((gp & jnp.int32(0xFF)) << (8 * plane))
+        planes.append(jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(byte, 24), 24).astype(jnp.int8))
+    parts = []
+    for r in range(k):
+        mt = (rowm == (offm - t * jnp.int32(Cb)) * k + r).astype(
+            jnp.int8)                                # (Cb*k, bb) one-hot
+        g = jnp.zeros((bb, L), jnp.int32)
+        for p in range(4):
+            gp = jax.lax.dot_general(
+                mt, planes[p], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)    # (bb, L) = w or 0
+            g = g | ((gp & jnp.int32(0xFF)) << (8 * p))
+        parts.append(g)
+    g = parts[0] if k == 1 else jnp.concatenate(parts, axis=1)  # (bb, k*L)
     out_ref[0] = out_ref[0] ^ jax.lax.bitcast_convert_type(g, jnp.uint32)
 
 
@@ -384,21 +403,24 @@ def xor_hintgen_mm_s8p(dbp, table, skip, k: int, sc: int = 1,
 _MM_KERNELS = {"bf16": _hintgen_mm_kernel, "s8": _hintgen_mm_kernel_s8}
 
 
-@functools.partial(jax.jit, static_argnames=("C", "bb", "interpret", "dot"))
-def _hintgen_mm_padded(dbE, offsets, C, bb, interpret, dot="s8"):
-    """dbE (S, P, C, E) u32; offsets (P, S, Tp) i32 (C = skip), Tp % bb == 0.
-    Returns (P, Tp, E) u32."""
+@functools.partial(jax.jit, static_argnames=("C", "k", "bb", "interpret",
+                                             "dot"))
+def _hintgen_mm_padded(db4, offsets, C, k, bb, interpret, dot="s8"):
+    """db4 (S, P, C*k, 128) u32 — the engine's NATIVE layout, consumed
+    as-is: an entry-major (C, E) reshape is a physical full-DB copy on
+    TPU (lane-dim change), which doubled HBM and OOM'd the 11.9 GiB
+    SIFT100M shard. offsets (P, S, Tp) i32 (C = skip), Tp % bb == 0.
+    Returns (P, Tp, E) u32.
+
+    The chunk axis runs as C//Cb sub-blocks of Cb <= 1024 entries (see
+    _hintgen_mm_kernel): a full chunk + its one-hot overflow the 16 MB
+    scoped VMEM at C=8192. Cb == C at SIFT1M shapes and below."""
     P, S, Tp = offsets.shape
-    E = dbE.shape[3]
-    # chunk axis blocked to Cb <= 1024: a full (C, E) chunk + its (C, bb)
-    # one-hot overflow the 16 MB scoped VMEM at the SIFT100M tier
-    # (C=8192: 8.4 + 8.4 MB; measured compile OOM). Offsets outside
-    # [t*Cb, (t+1)*Cb) one-hot to zero rows, which are XOR-neutral, so
-    # the split changes nothing semantically. Cb == C at SIFT1M and below.
+    L = db4.shape[3]
+    E = k * L
     Cb = min(C, 1024)
-    dbB = dbE.reshape(S, P, C // Cb, Cb, E)
     grid = (P, Tp // bb, S, C // Cb)
-    kernel = functools.partial(_MM_KERNELS[dot], Cb=Cb, bb=bb)
+    kernel = functools.partial(_MM_KERNELS[dot], Cb=Cb, bb=bb, k=k)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((P, Tp, E), jnp.uint32),
@@ -406,14 +428,14 @@ def _hintgen_mm_padded(dbE, offsets, C, bb, interpret, dot="s8"):
         in_specs=[
             pl.BlockSpec((1, S, bb), lambda p, hb, s, t: (p, 0, hb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, Cb, E),
-                         lambda p, hb, s, t: (s, p, t, 0, 0),
+            pl.BlockSpec((1, 1, Cb * k, L),
+                         lambda p, hb, s, t: (s, p, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bb, E), lambda p, hb, s, t: (p, hb, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(offsets, dbB)
+    )(offsets, db4)
 
 
 @functools.partial(jax.jit, static_argnames=("C", "pad_to"))
@@ -443,17 +465,25 @@ def xor_hintgen_mm(db4, table, skip, k: int, interpret=None, dot="s8"):
     C = CK // k
     E = k * 128
     T = table.shape[1]
-    # contiguous reshape: entry c's k rows become its E = k*128 lanes
-    dbE = jnp.asarray(db4).reshape(S, P, C, E)
-    # bb sizes the (C, bb) one-hot intermediates; 1024 keeps the kernel's
-    # scoped VMEM under the 16 MB limit at C=512 (2048 OOMs the compiler).
+    # bb sizes the one-hot intermediates; 1024 keeps the kernel's scoped
+    # VMEM under the 16 MB limit (2048 OOMs the compiler).
     nblocks = max(1, -(-T // 1024))
     bb = -(-T // nblocks)
     bb = -(-bb // 128) * 128                         # lane-aligned block
     Tp = nblocks * bb
     off = _hintgen_mm_offsets(jnp.asarray(table), jnp.asarray(skip),
                               C=C, pad_to=Tp)
-    out = _hintgen_mm_padded(dbE, off, C, bb, interpret, dot)
+    if C <= 1024:
+        # entry-major fast path: the (C, E) reshape is a physical 1:1 DB
+        # copy on TPU, affordable at <= ~1 GB tiers, and it halves the
+        # one-hot MXU work (contraction over C entries, not C*k rows)
+        dbE = jnp.asarray(db4).reshape(S, P, C, E)
+        out = _hintgen_mm_padded(dbE, off, C, 1, bb, interpret, dot)
+    else:
+        # big-C tiers (SIFT100M shard: C=8192, 11.9 GiB): consume the
+        # native layout as-is — the reshape copy would OOM HBM
+        out = _hintgen_mm_padded(jnp.asarray(db4), off, C, k, bb,
+                                 interpret, dot)
     return out[:, :T]
 
 

@@ -98,13 +98,16 @@ def test_hintgen_mm_chunk_blocking():
     from pacmann_tpu.ops.xor_scan import xor_hintgen_mm
 
     rng = np.random.default_rng(9)
-    S, P, C, k, T = 3, 1, 2048, 1, 40   # C // Cb = 2 sub-blocks
-    db4 = rng.integers(0, 2**32, size=(S, P, C * k, 128), dtype=np.uint32)
-    table = rng.integers(0, C, size=(P, T, S), dtype=np.uint32)
-    skip = rng.random((P, T, S)) < 0.25
-    got = np.asarray(xor_hintgen_mm(db4, table, skip, k))
-    want = xor_scan_np(db4[:, 0], table[0], skip[0], k)
-    assert np.array_equal(got[0], want.reshape(T, k * 128))
+    for (S, P, C, k, T) in [(3, 1, 2048, 1, 40),   # 2 sub-blocks, 1-row
+                            (2, 2, 2048, 2, 30)]:  # 2 sub-blocks, k rows
+        db4 = rng.integers(0, 2**32, size=(S, P, C * k, 128),
+                           dtype=np.uint32)
+        table = rng.integers(0, C, size=(P, T, S), dtype=np.uint32)
+        skip = rng.random((P, T, S)) < 0.25
+        got = np.asarray(xor_hintgen_mm(db4, table, skip, k))
+        for p in range(P):
+            want = xor_scan_np(db4[:, p], table[p], skip[p], k)
+            assert np.array_equal(got[p], want.reshape(T, k * 128)), (k, p)
 
 
 def test_pallas_hintgen_interpret():
