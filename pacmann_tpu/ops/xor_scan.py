@@ -418,7 +418,10 @@ def _hintgen_mm_padded(db4, offsets, C, k, bb, interpret, dot="s8"):
     P, S, Tp = offsets.shape
     L = db4.shape[3]
     E = k * L
-    Cb = min(C, 1024)
+    # row block Cb*k <= 1024: with Cb=1024 AND k=2 the working set
+    # (off sheet + db block + one-hots + planes) measured 4 KB over the
+    # 16 MB scoped VMEM limit at the SIFT100M shard shapes
+    Cb = min(C, max(1, 1024 // k))
     grid = (P, Tp // bb, S, C // Cb)
     kernel = functools.partial(_MM_KERNELS[dot], Cb=Cb, bb=bb, k=k)
     return pl.pallas_call(
