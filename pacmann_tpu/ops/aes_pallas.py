@@ -183,53 +183,55 @@ def _kernel_ws() -> int:
     return 8
 
 
-def _pack_table_inputs(T: int, S: int, ws: int):
-    """PRF input planes for the (T, S) table lattice, lane-padded to whole
-    (ws, 128) word blocks. Returns (s0 (8, 16, Ls, 128) u32, pad).
+def _pack_table_block(base, Lc: int, S: int):
+    """PRF input planes for ONE lattice block: word-group g, bit-slot r
+    evaluates point n = base + r*Lc + g, g in [0, Lc). Returns s0
+    (8, 16, Lc//128, 128) u32.
 
-    COLUMN-MAJOR slot assignment: word-group g, bit-slot r evaluates
-    lattice point n = r*L + g (L = pad//32), not the row-major n = 32g+r.
-    The assignment is a pure relabeling (the kernel is pointwise in
-    lanes), but it lets _unpack_tables emit the final linear order with a
-    plain reshape — the row-major form needed a (P, L, 32)-ish transpose
-    whose tiny-minor-dims tiling padded 1.1 GB to 70 GB at the SIFT100M
-    tier (measured compile OOM). All bit shuffles here ride
-    transpose32_cols: the 32-axis is swapped with static slices and the
-    huge L axis stays lane-minor."""
+    COLUMN-MAJOR slot assignment (within the block), not the row-major
+    n = 32g+r: a pure relabeling (the kernel is pointwise in lanes), but
+    it lets _unpack_block emit the block's linear order with a plain
+    reshape — the row-major form needed a (P, L, 32)-ish transpose whose
+    tiny-minor-dims tiling padded 1.1 GB to 70 GB at the SIFT100M tier
+    (measured compile OOM). All bit shuffles ride transpose32_cols: the
+    32-axis is swapped with static slices, the big Lc axis stays
+    lane-minor. `base` may be traced (lax.map over blocks)."""
     from pacmann_tpu.ops.bitops import transpose32_cols
 
-    n = T * S
-    lane_pad = 32 * ws * 128                  # evals per (ws, 128) word block
-    pad = -(-n // lane_pad) * lane_pad
-    L = pad // 32
-    # point index per (slot r, group g): n = r*L + g
-    nidx = (jax.lax.broadcasted_iota(jnp.uint32, (32, L), 0) * np.uint32(L)
-            + jax.lax.broadcasted_iota(jnp.uint32, (32, L), 1))
+    nidx = (base.astype(jnp.uint32) if hasattr(base, "dtype")
+            else np.uint32(base))
+    nidx = (nidx
+            + jax.lax.broadcasted_iota(jnp.uint32, (32, Lc), 0)
+            * np.uint32(Lc)
+            + jax.lax.broadcasted_iota(jnp.uint32, (32, Lc), 1))
     lo = nidx % np.uint32(S)
     hi = (nidx // np.uint32(S)) << np.uint32(3)  # (tag<<35)+x framing, hi
 
-    def word_planes(w):                       # (32, L) values -> (8, 4, L)
+    def word_planes(w):                       # (32, Lc) values -> (8, 4, Lc)
         t = transpose32_cols(w)               # plane p at [p, g]
-        return jnp.transpose(t.reshape(4, 8, L), (1, 0, 2))
+        return jnp.transpose(t.reshape(4, 8, Lc), (1, 0, 2))
 
-    z = jnp.zeros((8, 4, L), jnp.uint32)
+    z = jnp.zeros((8, 4, Lc), jnp.uint32)
     s0 = jnp.concatenate(
-        [word_planes(lo), word_planes(hi), z, z], axis=1)   # (8, 16, L)
-    return s0.reshape(8, 16, L // 128, 128), pad
+        [word_planes(lo), word_planes(hi), z, z], axis=1)   # (8, 16, Lc)
+    return s0.reshape(8, 16, Lc // 128, 128)
 
 
-def _unpack_tables(out, P, T, S, pad, chunk_mask):
-    """(P, 8, 4, Ls, 128) output planes -> (P, T, S) u32 offsets. With the
-    column-major slot assignment of _pack_table_inputs, slot (r, g) holds
-    point r*L + g, so the (P, 32, L) value block IS the linear order."""
+def _unpack_block(out, P, Lc: int):
+    """(P, 8, 4, Lc//128, 128) output planes -> (P, 32*Lc) u32 values in
+    the block's linear order (slot (r, g) holds point base + r*Lc + g)."""
     from pacmann_tpu.ops.bitops import transpose32_cols
 
-    n = T * S
-    L = pad // 32
-    blk = out.reshape(P, 8, 4, L)                       # (P, 8b, 4j, L)
-    cols = jnp.transpose(blk, (0, 2, 1, 3)).reshape(P, 32, L)  # col 8j+b
-    vals = transpose32_cols(cols).reshape(P, pad)       # [p, r*L+g]
-    return (vals[:, :n] & jnp.uint32(chunk_mask)).reshape(P, T, S)
+    blk = out.reshape(P, 8, 4, Lc)                      # (P, 8b, 4j, Lc)
+    cols = jnp.transpose(blk, (0, 2, 1, 3)).reshape(P, 32, Lc)  # col 8j+b
+    return transpose32_cols(cols).reshape(P, 32 * Lc)   # [p, r*Lc+g]
+
+
+# One lattice block's input-plane sheet stays ~256 MB: the whole-lattice
+# sheet at the SIFT100M tier is 2.2 GB (+ a 2 GB layout copy for the
+# pallas operand), which did not fit next to the 11.9 GiB DB shard.
+# Single block at SIFT1M scales and below (sheet ~26 MB).
+_TABLE_BLOCK_WORDS = 1 << 19
 
 
 @functools.partial(jax.jit, static_argnames=("T", "S", "chunk_mask",
@@ -243,10 +245,32 @@ def prf_tables_pallas(masks, T: int, S: int, chunk_mask: int,
         interpret = default_interpret()
     P = masks.shape[0]
     ws = _kernel_ws()
-    s0, pad = _pack_table_inputs(T, S, ws)
-    m16 = masks_to_mask16(masks)                        # (P, 11, 8)
-    out = _aes_mmo_low32_blocks(m16, s0, ws=ws, interpret=interpret)
-    return _unpack_tables(out, P, T, S, pad, chunk_mask)
+    n = T * S
+    lane_pad = 32 * ws * 128                  # evals per (ws, 128) block
+    m16 = masks_to_mask16(masks)              # (P, 11, 8)
+
+    Lc = min(_TABLE_BLOCK_WORDS, -(-n // (32 * 128)) * 128)
+    Lc = -(-Lc // (ws * 128)) * (ws * 128)    # whole kernel grid blocks
+    per_blk = 32 * Lc
+    n_blk = -(-n // per_blk)
+    pad = n_blk * per_blk
+
+    def one_block(base):
+        s0 = _pack_table_block(base, Lc, S)
+        out = _aes_mmo_low32_blocks(m16, s0, ws=ws, interpret=interpret)
+        return _unpack_block(out, P, Lc)      # (P, per_blk)
+
+    if n_blk == 1:
+        vals = one_block(0)
+    else:
+        # lax.map: ONE copy of the kernel + pack/unpack in the program,
+        # ~256 MB of input planes live at a time (the whole-lattice sheet
+        # at the SIFT100M tier is 2.2 GB + a layout copy — it did not fit
+        # next to the 11.9 GiB DB shard)
+        bases = jnp.arange(n_blk, dtype=jnp.uint32) * jnp.uint32(per_blk)
+        vals = jnp.moveaxis(jax.lax.map(one_block, bases), 0, 1)
+        vals = vals.reshape(P, pad)
+    return (vals[:, :n] & jnp.uint32(chunk_mask)).reshape(P, T, S)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "S", "chunk_mask"))
@@ -258,7 +282,11 @@ def prf_tables_bytefirst_xla(masks, T: int, S: int, chunk_mask: int):
     the kernel adds only BlockSpec/SMEM plumbing on top of this."""
     P = masks.shape[0]
     ws = _kernel_ws()
-    s0, pad = _pack_table_inputs(T, S, ws)
+    n = T * S
+    lane_pad = 32 * ws * 128
+    pad = -(-n // lane_pad) * lane_pad
+    Lc = pad // 32
+    s0 = _pack_table_block(0, Lc, S)          # single block (test scale)
     Ls = s0.shape[2]
     m16 = masks_to_mask16(masks)
     outs = []
@@ -271,7 +299,8 @@ def prf_tables_bytefirst_xla(masks, T: int, S: int, chunk_mask: int):
             blocks.append(jnp.stack(o))       # (8, 4, ws, 128)
         outs.append(jnp.concatenate(blocks, axis=2))
     out = jnp.stack(outs)                     # (P, 8, 4, Ls, 128)
-    return _unpack_tables(out, P, T, S, pad, chunk_mask)
+    vals = _unpack_block(out, P, Lc)
+    return (vals[:, :n] & jnp.uint32(chunk_mask)).reshape(P, T, S)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -81,6 +81,52 @@ def test_prf_tables_pallas_interpret_slow():
     assert np.array_equal(out, ref)
 
 
+def test_prf_tables_multiblock_plumbing():
+    """The lattice-blocked table driver (lax.map over ~256 MB input-plane
+    blocks, the 100M-tier memory fix) must reproduce the host oracle
+    across block seams. Kernel body swapped for the XLA-twin circuit;
+    _TABLE_BLOCK_WORDS shrunk so a small lattice spans 3 blocks with a
+    padded tail."""
+    import jax.numpy as jnp2
+    from pacmann_tpu.ops import aes_pallas
+    from pacmann_tpu.ops.aes_pallas import (
+        _mmo_low32_planes, _perm_take, prf_tables_pallas)
+
+    def twin_blocks(m16, s0, *, ws, interpret):
+        _, _, Ls, _ = s0.shape
+        P = m16.shape[0]
+        outs = []
+        for p in range(P):
+            blocks = []
+            for ib in range(Ls // ws):
+                planes = [s0[b, :, ib * ws : (ib + 1) * ws]
+                          for b in range(8)]
+                o = _mmo_low32_planes(
+                    planes, lambda r, b: m16[p, r, b], _perm_take)
+                blocks.append(jnp2.stack(o))
+            outs.append(jnp2.concatenate(blocks, axis=2))
+        return jnp2.stack(outs)
+
+    orig_blocks = aes_pallas._aes_mmo_low32_blocks
+    orig_words = aes_pallas._TABLE_BLOCK_WORDS
+    aes_pallas._aes_mmo_low32_blocks = twin_blocks
+    aes_pallas._TABLE_BLOCK_WORDS = 1024      # 32768 evals per block
+    try:
+        rng = np.random.default_rng(7)
+        keys = [rng.bytes(16) for _ in range(2)]
+        masks = jnp.asarray(np.stack(
+            [aes.expand_key_planes(k) for k in keys]))
+        T, S, cm = 600, 128, 255              # n = 76800 -> 3 blocks
+        out = np.asarray(prf_tables_pallas(masks, T, S, cm))
+        ref = np.stack([
+            np.asarray(aes.prf_offset_table_device(k, T, S, cm))
+            for k in keys])
+        assert np.array_equal(out, ref)
+    finally:
+        aes_pallas._aes_mmo_low32_blocks = orig_blocks
+        aes_pallas._TABLE_BLOCK_WORDS = orig_words
+
+
 def test_prf_eval_fused_pallas_plumbing():
     """prf_eval_fused_pallas's packing/padding/unpacking plumbing, with the
     kernel body swapped for the XLA-twin circuit (the kernel's own
