@@ -135,6 +135,53 @@ def _prep_fused(db4, masks, repl_off, *, T: int, S: int, C: int, Hp: int,
     return table, parities, repl_val, slot_col, checksum
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "T", "S", "C", "Hp", "chunk_mask"))
+def _prep_tables_big(masks, *, T: int, S: int, C: int, Hp: int,
+                     chunk_mask: int):
+    """Big-tier offline phase A: PRF tables + slot-column cache only.
+    The u32 table and its transpose/cast transients die when this
+    program ends — run as one fused program at the SIFT100M shard they
+    coexist with phase B's offset sheets and leave no runtime headroom
+    (the next tiny allocation hit RESOURCE_EXHAUSTED)."""
+    from pacmann_tpu.ops.aes_pallas import prf_tables_pallas
+
+    if _resolve_aes_route() == "pallas":
+        table = prf_tables_pallas(masks, T, S, chunk_mask)
+    else:
+        table = jax.lax.map(
+            lambda mk: aes._prf_table_on_device(mk, T, S, chunk_mask),
+            masks)                                       # (P, T, S) u32
+    od = _off_dtype(C)
+    slot_col = jnp.swapaxes(table[:, :Hp, :], 1, 2).astype(od)
+    return table.astype(od), slot_col
+
+
+@functools.partial(jax.jit, static_argnames=("T", "S", "Hp", "R", "k"))
+def _prep_scan_big(db4, table, slot_col, repl_off, *, T: int, S: int,
+                   Hp: int, R: int, k: int):
+    """Big-tier offline phase B: hint scan + replacement gathers over the
+    narrow table from phase A (the offset fold widens per-use)."""
+    from pacmann_tpu.ops.xor_scan import xor_hintgen_mm
+
+    P = table.shape[0]
+    Ep = k * 128
+    skip = _build_skip(P, T, Hp, R, S).reshape(P, T, S)
+    parities = xor_hintgen_mm(db4, table, skip, k)       # (P, T, Ep)
+    repl_val = _gather_repl(db4, repl_off, k=k, Ep=Ep)   # (P, S, R, Ep)
+    checksum = (parities[-1, -1, -1] ^ repl_val[-1, -1, -1, -1]
+                ^ table[-1, -1, -1].astype(jnp.uint32)
+                ^ slot_col[0, 0, 0].astype(jnp.uint32))
+    return parities, repl_val, checksum
+
+
+# DBs above this size run the offline phase as two device programs
+# (tables, then scan) so phase-A transients free before phase B
+# allocates; below it the single fused program's one-dispatch latency
+# win stands (~25 ms/dispatch over the tunnel).
+_PREP_SPLIT_DB_BYTES = 4 << 30
+
+
 def _resolve(route, env_var, default):
     """Kernel routing, resolved at TRACE time: the decision is baked into
     the compiled program and pinned per jit-cache entry (shapes + static
@@ -652,10 +699,22 @@ class DevicePianoEngine:
                        p.primary_hint_num, p.chunk_size)
         T = Hp + S * R
         if on_tpu():
+            masks = np.stack([aes.expand_key_planes(kb) for kb in keys16])
+            db_bytes = int(np.prod(self.db.shape)) * 4
+            if db_bytes > _PREP_SPLIT_DB_BYTES:
+                # big tiers: two programs so phase-A (u32 table) transients
+                # free before phase-B (offset sheets) allocate — the fused
+                # form ran but left zero HBM headroom at the 100M shard
+                table, slot_col = _prep_tables_big(
+                    jnp.asarray(masks), T=T, S=S, C=C, Hp=Hp,
+                    chunk_mask=p.chunk_mask)
+                parities, repl_val, chk = _prep_scan_big(
+                    self.db, table, slot_col, jnp.asarray(repl_off),
+                    T=T, S=S, Hp=Hp, R=R, k=self.k)
+                return table, parities, repl_val, slot_col, chk
             # the whole offline phase as ONE device program + ONE sync
             # (see _prep_fused): per-phase dispatch/sync round trips over
             # the interconnect otherwise dominate the 0.3 s total.
-            masks = np.stack([aes.expand_key_planes(kb) for kb in keys16])
             return _prep_fused(
                 self.db, jnp.asarray(masks), jnp.asarray(repl_off),
                 T=T, S=S, C=C, Hp=Hp, R=R, k=self.k, chunk_mask=p.chunk_mask)
