@@ -125,8 +125,63 @@ def main():
     except Exception as e:                        # plugin may not expose
         print(f"memory_stats unavailable: {e}", flush=True)
 
-    # ---- correctness: serve real batches through the public query API
+    # write prep results NOW: the probe's later phases have their own
+    # failure modes and the prep measurements must survive them
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "reports", "sift100m_shard.json")
+    report = {
+        "config": {"n_shard": n, "entry_bytes": entry_bytes,
+                   "partitions": P, "partition_size": c.partition_size,
+                   "chunk_size": C, "set_size": S,
+                   "primary_hint_num": p.primary_hint_num,
+                   "max_query_num": p.max_query_num},
+        "db_gib": round(db_gib, 3),
+        "synth_s": round(t_synth, 2),
+        "prep_cold_s": round(t_prep_cold, 2),
+        "prep_warm_s": round(t_prep, 3),
+        "plan_prep_est_s": 4.2,
+        "hbm": mem,
+        "platform": jax.devices()[0].platform,
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+
+    # ---- online sub-phase probes first (localize faults at tier shapes:
+    # prep was blocked by three distinct compile/memory failure modes
+    # before it ran, each only identifiable by bisection)
     rng = np.random.default_rng(11)
+    from pacmann_tpu.pir.device_engine import (
+        _select_step, _server_answer, DEFAULT_PROGRAM_POINT as _dpp)
+    pp0 = eng.params
+    for tag, fn in (
+        ("select", lambda: _select_step(
+            eng.state,
+            jnp.asarray(rng.integers(0, c.partition_size, size=(2, P))
+                        .astype(np.int32)),
+            jnp.asarray((rng.integers(0, 2**31, size=(2, P, S),
+                                      dtype=np.int64) % C).astype(np.uint32)),
+            C=C, R=pp0.max_query_per_chunk, Hp=pp0.primary_hint_num, S=S,
+            k=eng.k, max_q=pp0.max_query_num, dpp=_dpp)),
+        ("server_scan", lambda: _server_answer(
+            eng.db,
+            jnp.asarray((rng.integers(0, 2**31, size=(2, P, S),
+                                      dtype=np.int64) % C).astype(np.uint32)),
+            k=eng.k)),
+    ):
+        t0 = time.perf_counter()
+        try:
+            r = fn()
+            np.asarray(jax.tree.leaves(r)[0].reshape(-1)[-1])
+            print(f"online sub-phase {tag}: OK "
+                  f"({time.perf_counter()-t0:.1f}s)", flush=True)
+        except Exception as e:
+            print(f"online sub-phase {tag}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            report[f"online_{tag}_error"] = str(e)[:300]
+            with open(out_path, "w") as f:
+                json.dump(report, f, indent=1)
+
+    # ---- correctness: serve real batches through the public query API
     ok = tot = 0
     for _ in range(4):
         ids = [int(x) for x in rng.integers(0, n, size=batch)]
@@ -139,6 +194,9 @@ def main():
                 tot += 1
                 ok += int(np.array_equal(out[r], exp))
     print(f"exact served entries: {ok}/{tot}", flush=True)
+    report["exact_entries"] = [ok, tot]
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
     assert ok == tot and tot > 0, "served entries mismatch"
 
     # ---- online: the fused batch step at per-shard shapes, scanned like
@@ -187,28 +245,14 @@ def main():
           f"compute ({NSTEP} steps); maintenance {maint*1000:.1f} ms/query "
           f"({queries_per_window} queries/window)", flush=True)
 
-    report = {
-        "config": {"n_shard": n, "entry_bytes": entry_bytes,
-                   "partitions": P, "partition_size": c.partition_size,
-                   "chunk_size": C, "set_size": S,
-                   "primary_hint_num": pp.primary_hint_num,
-                   "max_query_num": pp.max_query_num,
-                   "quota_per_step": Q, "steps_per_query": NSTEP},
-        "db_gib": round(db_gib, 3),
-        "synth_s": round(t_synth, 2),
-        "prep_cold_s": round(t_prep_cold, 2),
-        "prep_warm_s": round(t_prep, 3),
-        "plan_prep_est_s": 4.2,
-        "step_ms": round(t_step * 1000, 3),
-        "query_compute_ms": round(t_query * 1000, 2),
-        "maintenance_ms_per_query": round(maint * 1000, 2),
-        "queries_per_window": queries_per_window,
-        "exact_entries": [ok, tot],
-        "hbm": mem,
-        "platform": jax.devices()[0].platform,
-    }
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "reports", "sift100m_shard.json")
+    report["config"].update(quota_per_step=Q, steps_per_query=NSTEP)
+    report.update(
+        step_ms=round(t_step * 1000, 3),
+        query_compute_ms=round(t_query * 1000, 2),
+        maintenance_ms_per_query=round(maint * 1000, 2),
+        queries_per_window=queries_per_window,
+        exact_entries=[ok, tot],
+    )
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"report -> {out_path}", flush=True)
