@@ -828,14 +828,27 @@ class DevicePianoEngine:
     # -- online --------------------------------------------------------------
 
     def _online(self, idx_q, rand_offs):
-        """One jitted batch step; ShardedPianoEngine overrides this."""
+        """One batch step; ShardedPianoEngine overrides this.
+
+        Big tiers run the step as THREE chained device programs (select /
+        server scan / finish — data stays on device, no host boundary):
+        the single fused program compiles at the SIFT100M shard but its
+        execution faults (opaque INTERNAL at the result read) while the
+        identical computation as split programs runs fine — measured on
+        real v5e, probe_100m_shard attempt 8. The split costs two extra
+        async dispatches per step, which pipeline over the tunnel."""
         p = self.params
+        kw = dict(C=p.chunk_size, R=p.max_query_per_chunk,
+                  Hp=p.primary_hint_num, S=p.set_size, k=self.k,
+                  dpp=DEFAULT_PROGRAM_POINT, route=self.kernel_route)
+        if int(np.prod(self.db.shape)) * 4 > _PREP_SPLIT_DB_BYTES:
+            sel, qs = _select_step(self.state, idx_q, rand_offs,
+                                   max_q=p.max_query_num, **kw)
+            resp = _server_answer(self.db, qs, k=self.k)
+            return _finish_step(self.state, sel, resp, **kw)
         return _online_step(
             self.db, self.state, idx_q, rand_offs,
-            C=p.chunk_size, R=p.max_query_per_chunk,
-            Hp=p.primary_hint_num, S=p.set_size, k=self.k,
-            max_q=p.max_query_num, dpp=DEFAULT_PROGRAM_POINT,
-            route=self.kernel_route)
+            max_q=p.max_query_num, **kw)
 
     def _online_measured(self, idx_q, rand_offs):
         """The same batch, split at the observable protocol messages: the

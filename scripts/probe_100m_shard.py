@@ -181,6 +181,34 @@ def main():
             with open(out_path, "w") as f:
                 json.dump(report, f, indent=1)
 
+    # chained split-program round (the measure_comm client/server boundary
+    # path): select -> scan -> finish as three dispatches — exercises the
+    # finish phase, which the single-program probes above skip
+    from pacmann_tpu.pir.device_engine import _finish_step
+    try:
+        t0 = time.perf_counter()
+        idx2 = jnp.asarray(rng.integers(
+            0, c.partition_size, size=(2, P)).astype(np.int32))
+        rnd2 = jnp.asarray((rng.integers(0, 2**31, size=(2, P, S),
+                                         dtype=np.int64) % C)
+                           .astype(np.uint32))
+        kwp = dict(C=C, R=pp0.max_query_per_chunk, Hp=pp0.primary_hint_num,
+                   S=S, k=eng.k, dpp=_dpp)
+        sel, qs = _select_step(eng.state, idx2, rnd2,
+                               max_q=pp0.max_query_num, **kwp)
+        resp = _server_answer(eng.db, qs, k=eng.k)
+        new_state, entries, oks = _finish_step(eng.state, sel, resp, **kwp)
+        np.asarray(entries[-1, -1, -1])
+        eng.state = new_state
+        print(f"online sub-phase finish (split round): OK "
+              f"({time.perf_counter()-t0:.1f}s)", flush=True)
+    except Exception as e:
+        print(f"online sub-phase finish: FAIL {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+        report["online_finish_error"] = str(e)[:300]
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+
     # ---- correctness: serve real batches through the public query API
     ok = tot = 0
     for _ in range(4):
@@ -199,42 +227,29 @@ def main():
         json.dump(report, f, indent=1)
     assert ok == tot and tot > 0, "served entries mismatch"
 
-    # ---- online: the fused batch step at per-shard shapes, scanned like
-    # the real query loop (one compiled program, state as carry)
+    # ---- online: the batch step at per-shard shapes, host-looped over
+    # the engine's own step path (the split three-program route at this
+    # tier — async dispatches pipeline over the tunnel, so the loop costs
+    # ~one round trip, not NSTEP)
     Q, NSTEP = args.quota, args.steps
     pp = eng.params
-    kw = dict(C=C, R=pp.max_query_per_chunk, Hp=pp.primary_hint_num, S=S,
-              k=eng.k, max_q=pp.max_query_num, dpp=DEFAULT_PROGRAM_POINT)
-    idx = jnp.asarray(rng.integers(
-        0, c.partition_size, size=(Q, P)).astype(np.int32))
-    rnd = jnp.asarray((rng.integers(0, 2**31, size=(Q, P, S), dtype=np.int64)
-                       % C).astype(np.uint32))
-    st = eng.state
 
-    @jax.jit
-    def run(state, idx, rnd, db):
-        carry = (state["tag"], state["prog"], state["primary_parity"],
-                 state["slot_col"], state["hist"], state["finished"])
+    def step_batch(i):
+        idx = rng.integers(0, c.partition_size, size=(Q, P)).astype(np.int32)
+        rnd = (rng.integers(0, 2**31, size=(Q, P, S), dtype=np.int64)
+               % C).astype(np.uint32)
+        return jnp.asarray(idx), jnp.asarray(rnd)
 
-        def body(carry, i):
-            idx_i = (idx + i) % np.int32(c.partition_size)
-            rnd_i = (rnd + jnp.uint32(i)) % np.uint32(C)
-            carry, entries, oks = _pir_batch(
-                db, state["table"], state["repl_idx"], state["repl_val"],
-                state["backup_parity"], carry, idx_i, rnd_i, **kw)
-            return carry, None
+    def run_steps():
+        ent = None
+        for i in range(NSTEP):
+            idx, rnd = step_batch(i)
+            eng.state, ent, oks = eng._online(idx, rnd)
+        np.asarray(ent[-1, -1, -1])               # sync the whole chain
 
-        carry, _ = jax.lax.scan(body, carry,
-                                jnp.arange(NSTEP, dtype=jnp.int32))
-        acc = jnp.uint32(0)
-        for leaf in jax.tree.leaves(carry):
-            if leaf.dtype != jnp.bool_:
-                acc ^= jnp.asarray(leaf).reshape(-1)[-1].astype(jnp.uint32)
-        return acc
-
-    np.asarray(run(st, idx, rnd, eng.db))         # compile + warm
+    run_steps()                                   # compile + warm
     t0 = time.perf_counter()
-    np.asarray(run(st, idx, rnd, eng.db))
+    run_steps()
     t_step = (time.perf_counter() - t0) / NSTEP
     t_query = t_step * NSTEP
     # per-query maintenance: each query consumes quota*NSTEP of the
