@@ -96,6 +96,8 @@ def main():
     t0 = time.time()
     cs = ClusterSearcher(vectors, n_clusters=K, n_iter=10, seed=0)
     build_s = time.time() - t0
+    # compile warmup at the timed block shape (remote compile: 10-100 s)
+    cs.search(queries[: cs.QUERY_BLOCK], k)
     t0 = time.perf_counter()
     ids_c = cs.search(queries, k)
     t_query = time.perf_counter() - t0
