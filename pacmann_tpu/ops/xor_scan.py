@@ -422,6 +422,10 @@ def _hintgen_mm_padded(db4, offsets, C, k, bb, interpret, dot="s8"):
     # (off sheet + db block + one-hots + planes) measured 4 KB over the
     # 16 MB scoped VMEM limit at the SIFT100M shard shapes
     Cb = min(C, max(1, 1024 // k))
+    while C % Cb:
+        # Cb must DIVIDE C or the grid silently drops the tail sub-block
+        # (C=8192/k=2 -> 512 divides; k=3 tiers -> 341 would truncate)
+        Cb -= 1
     grid = (P, Tp // bb, S, C // Cb)
     kernel = functools.partial(_MM_KERNELS[dot], Cb=Cb, bb=bb, k=k)
     return pl.pallas_call(

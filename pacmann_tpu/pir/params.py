@@ -133,6 +133,9 @@ def expected_success_rate(wanted: int, partition_num: int, quota: int,
     P, B, q = partition_num, wanted, quota
     if B <= 0 or P <= 0:
         return 1.0
+    if P == 1:
+        # degenerate: every fetch lands in the one partition (X == B)
+        return min(q, B) / B * (1.0 - 2.0 ** (-failure_prob_log2))
     # E[min(X, q)] = q - sum_{x<q} (q-x) pmf(x), pmf iterated stably
     pr = 1.0 / P
     pmf = (1.0 - pr) ** B

@@ -99,7 +99,10 @@ def test_hintgen_mm_chunk_blocking():
 
     rng = np.random.default_rng(9)
     for (S, P, C, k, T) in [(3, 1, 2048, 1, 40),   # 2 sub-blocks, 1-row
-                            (2, 2, 2048, 2, 30)]:  # 2 sub-blocks, k rows
+                            (2, 2, 2048, 2, 30),   # 2 sub-blocks, k rows
+                            (2, 1, 2048, 3, 20)]:  # 1024//k=341 does not
+        # divide C: Cb must back off to a divisor or the grid silently
+        # drops the tail entries of every chunk
         db4 = rng.integers(0, 2**32, size=(S, P, C * k, 128),
                            dtype=np.uint32)
         table = rng.integers(0, C, size=(P, T, S), dtype=np.uint32)
