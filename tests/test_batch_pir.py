@@ -122,3 +122,17 @@ def test_fcfs_success_matches_analytic_contract():
         batch, c.partition_num, batch // c.partition_num, 20)
     # ~3200 Bernoulli samples at p~0.73: 5 sigma ~ 0.04
     assert abs(measured - model) < 0.05, (measured, model)
+
+
+def test_expected_success_rate_edges():
+    """Degenerate shapes of the analytic model: P=1 (the binomial pmf
+    recursion would hit 0*inf) is exact min(q,B)/B; q >= B serves all."""
+    import math
+
+    from pacmann_tpu.pir.params import expected_success_rate
+
+    v = expected_success_rate(10, 1, 3, 8)
+    assert not math.isnan(v)
+    assert abs(v - 0.3 * (1 - 2.0**-8)) < 1e-12
+    assert abs(expected_success_rate(4, 1, 8, 30) - 1.0) < 1e-6
+    assert expected_success_rate(0, 16, 2, 8) == 1.0
