@@ -299,3 +299,42 @@ def test_table_free_bit_identical():
                 "primary_parity"):
         assert np.array_equal(
             np.asarray(a.state[key]), np.asarray(b.state[key])), key
+
+
+def test_big_tier_two_program_prep_matches_fused():
+    """The >4 GiB two-program offline phase (_prep_tables_big +
+    _prep_scan_big, run at the SIFT100M shard so phase-A transients free
+    before phase B allocates) must produce exactly the single fused
+    program's outputs — same tables, parities, replacement values, slot
+    columns, and checksum."""
+    import jax.numpy as jnp
+
+    from pacmann_tpu.ops import aes
+    from pacmann_tpu.pir import device_engine as de
+
+    rng = np.random.default_rng(77)
+    n, entry_bytes, batch = 4096, 16, 8
+    raw = rng.integers(0, 2**32, size=(n, entry_bytes // 4), dtype=np.uint32)
+    eng = de.DevicePianoEngine(n, entry_bytes, batch, raw, 8)
+    p, P = eng.params, eng.config.partition_num
+    S, R, Hp, C = (p.set_size, p.max_query_per_chunk,
+                   p.primary_hint_num, p.chunk_size)
+    T = Hp + S * R
+    keys16 = [rng.bytes(16) for _ in range(P)]
+    masks = jnp.asarray(np.stack([aes.expand_key_planes(k) for k in keys16]))
+    repl_off = jnp.asarray(
+        rng.integers(0, C, size=(P, S, R), dtype=np.uint32))
+
+    f_table, f_par, f_repl, f_slot, f_chk = de._prep_fused(
+        eng.db, masks, repl_off, T=T, S=S, C=C, Hp=Hp, R=R, k=eng.k,
+        chunk_mask=p.chunk_mask)
+    table, slot_col = de._prep_tables_big(
+        masks, T=T, S=S, C=C, Hp=Hp, chunk_mask=p.chunk_mask)
+    par, repl, chk = de._prep_scan_big(
+        eng.db, table, slot_col, repl_off, T=T, S=S, Hp=Hp, R=R, k=eng.k)
+
+    assert np.array_equal(np.asarray(table), np.asarray(f_table))
+    assert np.array_equal(np.asarray(slot_col), np.asarray(f_slot))
+    assert np.array_equal(np.asarray(par), np.asarray(f_par))
+    assert np.array_equal(np.asarray(repl), np.asarray(f_repl))
+    assert int(chk) == int(f_chk)
