@@ -232,25 +232,40 @@ def _wait_for_backend() -> bool:
     import subprocess
 
     max_wait_s = float(os.environ.get("PACMANN_BENCH_WAIT_S", "1200"))
+    if max_wait_s <= 0:
+        return True                     # wait disabled: no probe at all
     deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
         attempt += 1
+        # clamp the probe to the remaining budget so the total wait never
+        # overshoots PACMANN_BENCH_WAIT_S by a probe length
+        probe_s = min(240.0, max(1.0, deadline - time.monotonic()))
+        proc = subprocess.Popen(
+            [sys.executable, "-c", _PROBE_SRC],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         try:
-            r = subprocess.run(
-                [sys.executable, "-c", _PROBE_SRC],
-                timeout=240, capture_output=True)
-            if r.returncode == 0:
+            _, err = proc.communicate(timeout=probe_s)
+            if proc.returncode == 0:
                 if attempt > 1:
                     print(f"# backend up after {attempt} probes",
                           file=sys.stderr)
                 return True
-            msg = (r.stderr or b"").decode(errors="replace").strip()
+            msg = (err or b"").decode(errors="replace").strip()
             print(f"# backend probe {attempt} failed: {msg[-200:]}",
                   file=sys.stderr)
         except subprocess.TimeoutExpired:
-            print(f"# backend probe {attempt} hung (240 s); retrying",
-                  file=sys.stderr)
+            # SIGTERM first with a grace period: a SIGKILLed probe can die
+            # mid remote-compile, which wedges the tunnel for minutes
+            # (CLAUDE.md) — slowing the very recovery this loop waits for
+            proc.terminate()
+            try:
+                proc.communicate(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.communicate()
+            print(f"# backend probe {attempt} hung ({probe_s:.0f} s); "
+                  "retrying", file=sys.stderr)
         if time.monotonic() >= deadline:
             print("# backend still unavailable at deadline; proceeding",
                   file=sys.stderr)

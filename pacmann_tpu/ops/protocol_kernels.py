@@ -4,43 +4,29 @@ The online client protocol (device_engine._pir_select/_pir_finish) is
 op-count-bound on TPU: at SIFT1M group-16 shapes the select+finish XLA
 graphs lower to ~60-100 fused kernels whose launch overhead (~15-30 us
 each) costs ~3.5 ms/step while the actual data traffic is worth ~0.5 ms
-(RESULTS.md roofline). These kernels collapse the two dominant subgraphs
-into one Pallas program each:
+(RESULTS.md roofline).
 
-1. `claim_select` — Phase A slot selection (pir.go:404-419). Replaces the
-   (Q, P, Hp) eligibility tensor + owner-fixpoint repair passes with a
-   per-partition SEQUENTIAL greedy claim loop — the reference's exact
-   semantics: round q takes the first eligible primary slot not consumed
-   by an earlier round of the same batch. Sequential-over-Q is cheap here
-   because each round is ~30 vector ops on a (Hh, 128) tile; it is the
-   dense repair algebra and its kernel launches that cost. The XLA path
-   (device_engine._pir_select) iterates the owner map to fixpoint, which
-   converges to this same sequential outcome — identical hit slots AND
-   identical failure sets at any contention depth, so the two routes are
-   bit-identical in every output.
-
-2. `refresh_parity` — the Phase C primary-parity rewrite (pir.go:460-463).
-   The XLA form gathers (P, Hp, Ep) rows of refreshed parities and
-   rewrites the whole array with a masked select (~190 MB of traffic +
-   an ~100 GB/s gather); here each partition's parity block streams
-   through VMEM once and the <= Q refreshed rows are stored in place at
-   dynamic sublane offsets (Mosaic-legal; dynamic LANE indexing is not,
-   which is why slot_col's column update stays in XLA).
-
-Both kernels run interpreted off-TPU (tests) and compiled on TPU; NumPy
-twins below define the semantics.
+`claim_select` — Phase A slot selection (pir.go:404-419). Replaces the
+(Q, P, Hp) eligibility tensor + owner-fixpoint repair passes with a
+per-partition SEQUENTIAL greedy claim loop — the reference's exact
+semantics: round q takes the first eligible primary slot not consumed
+by an earlier round of the same batch. Sequential-over-Q is cheap here
+because each round is ~30 vector ops on a (Hh, 128) tile; it is the
+dense repair algebra and its kernel launches that cost. The XLA path
+(device_engine._pir_select) iterates the owner map to fixpoint, which
+converges to this same sequential outcome — identical hit slots AND
+identical failure sets at any contention depth, so the two routes are
+bit-identical in every output. Runs interpreted off-TPU (tests) and
+compiled on TPU; the NumPy twin below defines the semantics.
 
 MEASURED VERDICT (real v5e, probe_select_finish, 2026-08-18, SIFT1M
 shapes Q=96 P=16): claim_select 2.00 ms/step vs the XLA owner-fixpoint's
 2.06 — a tie (the XLA select is no longer op-count-bound after the
-round-4 fixpoint rewrite). refresh_parity LOSES 7x: full-batch finish
-14.50 ms/step vs XLA's 2.10 — the kernel still streams the whole
-(Hp, Ep) parity block per partition (the in-place alias writes every
-visited block) while serializing a Q=96 scalar loop per grid step; the
-XLA gather+select form moves the same bytes at ~100 GB/s with no per-row
-loop. The production route stays "xla" (device_engine._DEFAULT_ROUTE);
-these kernels remain as the measured-negative result and as the
-route-equivalence stress surface for the claim fixpoint.
+round-4 fixpoint rewrite). The production route stays "xla"
+(device_engine._DEFAULT_ROUTE); the kernel remains as the
+route-equivalence stress surface for the claim fixpoint. The companion
+Phase-C `refresh_parity` kernel measured 7x SLOWER than the XLA
+gather+select form and now lives in ops/attic.py with its verdict.
 """
 
 from __future__ import annotations
@@ -210,91 +196,3 @@ def claim_select_np(slot_col, prog, chunk_q, off_q, real_q, *, C, dpp):
                 found[q, p] = True
                 claimed[idx[0]] = True
     return hit, found
-
-
-# ---------------------------------------------------------------------------
-# Kernel 2: primary-parity row refresh (Phase C)
-
-
-def _refresh_kernel(hit_ref, ok_ref, np_ref, pin_ref, pout_ref,
-                    *, hb: int, Q: int):
-    """Grid (P, Hp//hb). Stream this partition's parity block through VMEM
-    and overwrite the <= Q refreshed rows in place (rows unique per
-    partition by the claim invariant). hit/ok are full (P, Q) SMEM arrays
-    indexed by program_id (Mosaic forbids (1, Q) SMEM row blocks)."""
-    p = pl.program_id(0)
-    b = pl.program_id(1)
-    start = b * hb
-    pout_ref[:] = pin_ref[:]
-
-    def body(q, _):
-        h = hit_ref[p, q]
-
-        @pl.when((ok_ref[p, q] != 0) & (h >= start) & (h < start + hb))
-        def _():
-            pout_ref[0, pl.ds(h - start, 1), :] = np_ref[0, pl.ds(q, 1), :]
-
-        return 0
-
-    jax.lax.fori_loop(0, Q, body, 0)
-
-
-def _pick_hb(Hp: int, cap: int = 1024) -> int:
-    """Largest divisor of Hp that is <= cap and a multiple of 8 (sublane
-    tile). Hp is always a multiple of the pow2 chunk size in real configs;
-    fall back to the whole axis for odd test shapes."""
-    for nb in range(-(-Hp // cap), Hp + 1):
-        if Hp % nb == 0 and (Hp // nb) % 8 == 0 and Hp // nb <= cap:
-            return Hp // nb
-    return Hp
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _refresh_parity_impl(ppar, new_par, hit, ok, *, interpret: bool):
-    P, Hp, Ep = ppar.shape
-    Q = hit.shape[0]
-    hb = _pick_hb(Hp)
-    ht = hit.T.astype(jnp.int32)        # (P, Q)
-    okt = ok.T.astype(jnp.int32)
-    npt = jnp.swapaxes(new_par, 0, 1)                          # (P, Q, Ep)
-
-    kernel = functools.partial(_refresh_kernel, hb=hb, Q=Q)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((P, Hp, Ep), jnp.uint32),
-        grid=(P, Hp // hb),
-        in_specs=[
-            pl.BlockSpec((P, Q), lambda p, b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((P, Q), lambda p, b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Q, Ep), lambda p, b: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hb, Ep), lambda p, b: (p, b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, hb, Ep), lambda p, b: (p, b, 0),
-                               memory_space=pltpu.VMEM),
-        input_output_aliases={3: 0},
-        interpret=interpret,
-    )(ht, okt, npt, ppar)
-
-
-def refresh_parity(ppar, new_par, hit, ok, *, interpret: bool | None = None):
-    """Overwrite ppar[p, hit[q, p], :] with new_par[q, p, :] wherever
-    ok[q, p] (hit slots unique per partition). ppar (P, Hp, Ep) u32,
-    new_par (Q, P, Ep) u32, hit (Q, P) i32, ok (Q, P) bool."""
-    if interpret is None:
-        interpret = default_interpret()
-    return _refresh_parity_impl(ppar, new_par, hit, ok, interpret=interpret)
-
-
-def refresh_parity_np(ppar, new_par, hit, ok):
-    """NumPy twin of refresh_parity."""
-    out = ppar.copy()
-    Q, P = hit.shape
-    for p in range(P):
-        for q in range(Q):
-            if ok[q, p]:
-                out[p, hit[q, p]] = new_par[q, p]
-    return out

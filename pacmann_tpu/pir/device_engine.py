@@ -395,16 +395,11 @@ def _pir_finish(repl_val, bpar, table, carry, sel, resp,
     upd = jnp.any(m3, axis=0)                            # (P, Hp)
     src = jnp.argmax(m3, axis=0).astype(jnp.int32)       # (P, Hp) -> q
     p_grid = jnp.broadcast_to(jnp.arange(P)[:, None], (P, Hp))
-    if _resolve_route(route) == "pallas":
-        # one Pallas program: stream each partition's parity block through
-        # VMEM and store the refreshed rows in place — drops the (P, Hp,
-        # Ep) gather + full-array select below (the finish phase's
-        # dominant traffic + kernel count).
-        from pacmann_tpu.ops.protocol_kernels import refresh_parity
-
-        ppar = refresh_parity(ppar, new_par, hit_v, ok_q)
-    else:
-        ppar = jnp.where(upd[..., None], new_par[src, p_grid], ppar)
+    # dense gather+select rewrite on BOTH routes: the Pallas in-place
+    # refresh kernel measured 7x slower (full parity stream + serialized
+    # Q loop) and lives in ops/attic.py with its verdict — the "pallas"
+    # protocol route now means the claim kernel only (which ties XLA).
+    ppar = jnp.where(upd[..., None], new_par[src, p_grid], ppar)
     tag = jnp.where(upd, btag[src, p_grid], tag)
     prog = jnp.where(upd, idxu_q[src, p_grid], prog)
     # refresh the cached PRF columns of the consumed slots (table-free

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 def main():
     from bench import synth_raw_auto
     from pacmann_tpu.pir.device_engine import DevicePianoEngine
-    from pacmann_tpu.ops.xor_scan import (
-        to_plane_major_s8, xor_hintgen_mm, xor_hintgen_mm_s8p)
+    from pacmann_tpu.ops.attic import to_plane_major_s8, xor_hintgen_mm_s8p
+    from pacmann_tpu.ops.xor_scan import xor_hintgen_mm
 
     n, dim, m = 1_000_000, 128, 32
     entry_bytes = 4 * dim + 4 * m

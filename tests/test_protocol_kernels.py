@@ -5,8 +5,8 @@ routed in."""
 import numpy as np
 import jax.numpy as jnp
 
-from pacmann_tpu.ops.protocol_kernels import (
-    claim_select, claim_select_np, refresh_parity, refresh_parity_np)
+from pacmann_tpu.ops.attic import refresh_parity, refresh_parity_np
+from pacmann_tpu.ops.protocol_kernels import claim_select, claim_select_np
 
 
 def _rand_claim_case(rng, Q, P, S, Hp, C, contention=False):

@@ -62,7 +62,7 @@ def test_parts_kernels_match_oracle():
 
 def test_pallas_xor_scan_interpret():
     """Pallas chunk-streaming kernel (interpret mode off-TPU)."""
-    from pacmann_tpu.ops.xor_scan import xor_scan_pallas
+    from pacmann_tpu.ops.attic import xor_scan_pallas
 
     rng = np.random.default_rng(2)
     db = _mk(rng, S=4, C=8, k=2)
@@ -115,7 +115,7 @@ def test_hintgen_mm_chunk_blocking():
 
 def test_pallas_hintgen_interpret():
     """Partition-major Pallas hint-gen kernel (interpret mode off-TPU)."""
-    from pacmann_tpu.ops.xor_scan import xor_hintgen_pallas
+    from pacmann_tpu.ops.attic import xor_hintgen_pallas
 
     rng = np.random.default_rng(3)
     S, P, C, k = 4, 2, 8, 2
@@ -153,8 +153,8 @@ def test_plane_major_s8_mm_matches_scan_oracle():
     bit-identical to the chunk-streaming scan for every chunks-per-step."""
     import jax.numpy as jnp
 
-    from pacmann_tpu.ops.xor_scan import (
-        to_plane_major_s8, xor_hintgen_mm_s8p, xor_scan_parts)
+    from pacmann_tpu.ops.attic import to_plane_major_s8, xor_hintgen_mm_s8p
+    from pacmann_tpu.ops.xor_scan import xor_scan_parts
 
     rng = np.random.default_rng(11)
     S, P, C, k = 6, 3, 16, 2
