@@ -49,16 +49,59 @@ def test_device_duplicate_ids_in_batch():
 
 
 def test_device_overflow_dropped_to_zeros():
+    """retries=0 is the strict single-round reference contract
+    (batch-pir.go:229-235): FCFS overflow -> zeros."""
     rng = np.random.default_rng(52)
     raw, pir = _mk(rng)
     c = pir.config
     ids = list(range(32))  # all in partition 0
-    out = pir.query(ids)
+    out = pir.query(ids, retries=0)
     answered = 32 // c.partition_num
     for r in range(answered):
         assert np.array_equal(out[r], raw[ids[r]])
     for r in range(answered, 32):
         assert np.all(out[r] == 0)
+
+
+def test_device_retry_round_serves_overflow():
+    """The default one retry round re-issues FCFS overflow drops: a batch
+    whose ids all collide into one partition still answers quota*(1+retries)
+    of them exactly, and the REMAINING overflow is zeros. Device-measured
+    budget consumption must match the real sub-queries served (dummy retry
+    rows never spend budget)."""
+    rng = np.random.default_rng(56)
+    raw, pir = _mk(rng)
+    c = pir.config
+    assert pir.query_retries == 1
+    ids = list(range(32))  # all in partition 0
+    out = pir.query(ids)
+    quota = 32 // c.partition_num
+    served = 2 * quota      # two rounds' worth of this partition's FCFS
+    for r in range(served):
+        assert np.array_equal(out[r], raw[ids[r]]), r
+    for r in range(served, 32):
+        assert np.all(out[r] == 0), r
+    # consumption = device truth: 2*quota sub-queries in partition 0 only
+    fin = np.asarray(pir.state["finished"])
+    assert fin[0] == served and fin[1:].sum() == 0
+    assert pir.queries_made_in_partition == served
+
+
+def test_device_retry_spread_batch_noop_budget():
+    """A batch the first round fully serves still runs the (all-dummy)
+    retry round — fixed server-visible pattern — but consumes no extra
+    device budget, and answers stay exact."""
+    rng = np.random.default_rng(57)
+    raw, pir = _mk(rng)
+    c = pir.config
+    ids = [int(i * c.partition_size + rng.integers(0, c.partition_size))
+           for i in range(c.partition_num)]
+    out = pir.query(ids)
+    for r, idx in enumerate(ids):
+        assert np.array_equal(out[r], raw[idx]), r
+    fin = np.asarray(pir.state["finished"])
+    assert fin.max() <= 1  # one real sub-query per partition, no retry spend
+    assert pir.queries_made_in_partition == int(fin.max())
 
 
 def test_device_cache_hits_across_batches():
@@ -120,7 +163,8 @@ def test_measured_comm_matches_analytic_model():
     for b in range(batches):
         ids = [int(i * c.partition_size + rng.integers(0, c.partition_size))
                for i in range(c.partition_num)] * 2
-        out = pir.query(ids)
+        # retries=0: the analytic model counts one round per batch
+        out = pir.query(ids, retries=0)
         for r, idx in enumerate(ids):
             assert np.array_equal(out[r], raw[idx]), (b, r)
 
