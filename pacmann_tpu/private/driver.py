@@ -83,7 +83,26 @@ class PrivateSearchResult:
     report: PrivateSearchReport
 
 
+def dataset_name(input_file: str, n: int, dim: int, m: int) -> str:
+    """The reference's dataset/cache naming convention
+    (private-search.go:96-101): basename minus extension + _{n}_{dim}_{m}."""
+    data = os.path.splitext(os.path.basename(input_file))[0]
+    return f"{data}_{n}_{dim}_{m}"
+
+
 def _load_or_make_inputs(cfg: PrivateSearchConfig, rng):
+    if cfg.input_file == "synthetic":
+        # the reference's explicit synthetic mode (private-search.go:105-116)
+        cfg = dataclasses.replace(cfg, input_file="")
+    elif cfg.input_file and not cfg.graph_file:
+        # build-if-missing graph cache under the reference's default name
+        # {workingDir}/{data}_{n}_{dim}_{m}_graph.npy (private-search.go:
+        # 130-137); the aux record lands next to it as in :148-153
+        work = os.path.dirname(cfg.input_file)
+        ds = dataset_name(cfg.input_file, cfg.n, cfg.dim, cfg.m)
+        cfg = dataclasses.replace(
+            cfg, graph_file=os.path.join(work, ds + "_graph.npy"))
+
     build_vecs = None  # compact (u8) build-time alias when the source is bvecs
     if cfg.input_file and cfg.input_file.endswith(".bvecs"):
         # read the byte file ONCE: the u8 form uploads 4x smaller for the
@@ -114,8 +133,13 @@ def _load_or_make_inputs(cfg: PrivateSearchConfig, rng):
         if cfg.graph_file:
             save_int_matrix(cfg.graph_file, graph)
             base, _ = os.path.splitext(cfg.graph_file)
-            with open(base + "_graph_aux.txt", "w") as f:
-                f.write(f"Graph build time: {build_s:.6f} s\n"
+            # aux record next to the graph (private-search.go:148-153):
+            # {dataset}_graph.npy -> {dataset}_graph_aux.txt
+            ds = (dataset_name(cfg.input_file, cfg.n, cfg.dim, cfg.m)
+                  if cfg.input_file else f"synthetic_{cfg.n}_{cfg.dim}_{cfg.m}")
+            with open(base + "_aux.txt", "w") as f:
+                f.write(f"Dataset: {ds}\n"
+                        f"Graph generation time: {build_s:.6f} s\n"
                         f"n={cfg.n} dim={cfg.dim} m={cfg.m}\n")
     else:
         # EXPLICITLY requested no build: a random graph gives meaningless

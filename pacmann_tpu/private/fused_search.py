@@ -97,6 +97,170 @@ def _seed_beam(queries, start_ids, start_vecs, start_nbrs, *,
     return ids, dist, nbrs, explored
 
 
+def _route_core(ids, dist, nbrs, explored, queries, step_key,
+                *, psize, C, S, m, P, parallel, quota, n):
+    """Steps 1-3 of a beam+PIR step: frontier pop, dedup, FCFS routing.
+
+    Pure function shared VERBATIM by the one-program scan (_fused_segment)
+    and the big-tier chained-programs route (_route_step) — bit-identity of
+    the two routes follows from sharing this trace. Returns the updated
+    `explored` plus everything later phases need:
+    (explored, fid (F,), known (Qn, parallel*m), is_first, keep, slot,
+     fo_idx, has_first (F,), idx_q (quota, P), rnd (quota, P, S))."""
+    Qn = queries.shape[0]
+    F = Qn * parallel * m               # fetches per step
+    cap = ids.shape[1]
+
+    # 1. frontier pop
+    slots, valid = _pop_parallel_batch(dist, explored, parallel)
+    pop_hit = (jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+               == slots[:, :, None]) & valid[:, :, None]
+    explored = explored | jnp.any(pop_hit, axis=1)
+    popped = jnp.take_along_axis(
+        nbrs, slots[:, :, None], axis=1)            # (Qn, parallel, m)
+    rk1, rk2 = jax.random.split(step_key)
+    rand_ids = jax.random.randint(
+        rk1, (Qn, parallel, m), 0, n, dtype=jnp.int32)
+    fid = jnp.where(valid[:, :, None], popped, rand_ids).reshape(F)
+    fid = jnp.clip(fid, 0, n - 1)
+
+    # 2. dedup (reference cache semantics, pir.go:381-383):
+    # (a) cross-step: an id already in this query's visited table was
+    #     fetched by an earlier step — its (vector, neighbors) would be
+    #     discarded by the `known` filter below anyway, so don't spend
+    #     a PIR slot on it;
+    # (b) in-step: of the remaining ("wanted") copies, only the FIRST
+    #     goes to PIR; duplicates read the first's response.
+    known = jax.vmap(
+        lambda f, i: jnp.any(f[:, None] == i[None, :], axis=1)
+    )(fid.reshape(Qn, parallel * m), ids)            # (Qn, parallel*m)
+    wanted = ~known.reshape(F)
+    eqm = (fid[:, None] == fid[None, :]) & wanted[None, :]
+    has_first = jnp.any(eqm, axis=1)
+    fo_idx = jnp.argmax(eqm, axis=1).astype(jnp.int32)
+    is_first = (fo_idx == jnp.arange(F, dtype=jnp.int32)) & wanted
+
+    # 3. partition routing with FCFS quota (batch-pir.go:178-216)
+    pa = fid // psize                                # (F,)
+    onehot = (pa[:, None] == jnp.arange(P)[None, :]) & is_first[:, None]
+    rank = jnp.take_along_axis(
+        jnp.cumsum(onehot, axis=0), pa[:, None], axis=1)[:, 0] - 1
+    keep = is_first & (rank < quota)
+    # scatter-free slot inversion: for each target slot (r, p), find
+    # the fetch that routed there (dense argmax-match; TPU scatters
+    # with data-dependent indices are unpredictable)
+    slot = jnp.where(keep, rank * P + pa, -1)
+    sl_iota = jnp.arange(quota * P, dtype=jnp.int32)
+    match = slot[None, :] == sl_iota[:, None]        # (QP, F)
+    src_f = jnp.argmax(match, axis=1).astype(jnp.int32)
+    found = jnp.any(match, axis=1)
+    local = (fid - pa * psize).astype(jnp.int32)
+    idx_q = jnp.where(found, local[src_f], -1).reshape(quota, P)
+
+    # dummy offsets for the PIR rounds (chunk_size is a power of two, so
+    # masking random bits is unbiased)
+    rnd = jax.random.bits(rk2, (quota, P, S), jnp.uint32) % np.uint32(C)
+    return (explored, fid, known, is_first, keep, slot, fo_idx, has_first,
+            idx_q, rnd)
+
+
+def _update_core(ids, dist, nbrs, explored, stats, queries, entries, oks,
+                 fid, known, is_first, keep, slot, fo_idx, has_first,
+                 step_idx, *, dim, m, k, P, parallel, quota):
+    """Step 5 of a beam+PIR step: response fan-out, decode, visited-table
+    update, fetch accounting. Shared verbatim by both routes (see
+    _route_core). step_idx is a TRACED global step index."""
+    Qn = queries.shape[0]
+    Ep = k * 128
+    entries_flat = jnp.concatenate(
+        [entries.reshape(quota * P, Ep),
+         jnp.zeros((1, Ep), jnp.uint32)])
+    ok_flat = jnp.concatenate(
+        [oks.reshape(quota * P), jnp.zeros(1, bool)])
+    # every fetch reads its FIRST OCCURRENCE's response slot
+    # (overflow/failed firsts resolve to the zero row)
+    sfo = jnp.where(has_first, slot[fo_idx], -1)
+    rslot = jnp.where(sfo >= 0, sfo, quota * P)
+    res = entries_flat[rslot]                        # (F, Ep)
+    res_ok = ok_flat[rslot] & keep[fo_idx] & has_first
+
+    # decode + visited-table update (search.go:187-207)
+    vec = jax.lax.bitcast_convert_type(
+        res[:, :dim], jnp.float32)                   # (F, dim)
+    nb = res[:, dim : dim + m].astype(jnp.int32)     # (F, m)
+
+    q_of = jnp.repeat(jnp.arange(Qn), parallel * m)
+    cdist = jnp.sum(
+        (vec - queries[q_of]) ** 2, axis=-1)
+
+    fid_q = fid.reshape(Qn, parallel * m)
+    nb_q = nb.reshape(Qn, parallel * m, m)
+    d_q = cdist.reshape(Qn, parallel * m)
+    ok_q = res_ok.reshape(Qn, parallel * m)
+
+    firstocc = jax.vmap(_first_occurrence)(fid_q)
+    nonzero = jnp.any(nb_q != 0, axis=2)
+    accept = ~known & firstocc & nonzero & ok_q
+
+    # contiguous write window [base, base + parallel*m): a dynamic
+    # update slice, not a scatter
+    base = parallel + step_idx * (parallel * m)
+    ids = jax.lax.dynamic_update_slice(
+        ids, jnp.where(accept, fid_q, NEG_ID), (0, base))
+    dist = jax.lax.dynamic_update_slice(
+        dist, jnp.where(accept, d_q, INF), (0, base))
+    nbrs = jax.lax.dynamic_update_slice(
+        nbrs, jnp.where(accept[:, :, None], nb_q, 0), (0, base, 0))
+    explored = jax.lax.dynamic_update_slice(
+        explored, ~accept, (0, base))
+
+    # fetch-success accounting (device-measured): distinct wanted
+    # fetches, quota survivors, and PIR-served survivors. The drop
+    # rate this exposes is the FCFS + hint-miss failure surface the
+    # reference reports as its per-query success rate.
+    stats = stats + jnp.stack(
+        [jnp.sum(is_first, dtype=jnp.int32),
+         jnp.sum(keep, dtype=jnp.int32),
+         jnp.sum(oks, dtype=jnp.int32)])
+    return ids, dist, nbrs, explored, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("psize", "C", "S", "m", "P", "parallel", "quota", "n"),
+    donate_argnames=("beam",),
+)
+def _route_step(beam, queries, step_key, *, psize, C, S, m, P, parallel,
+                quota, n):
+    """Standalone jit of _route_core for the big-tier chained route."""
+    ids, dist, nbrs, explored = beam
+    (explored, fid, known, is_first, keep, slot, fo_idx, has_first,
+     idx_q, rnd) = _route_core(
+        ids, dist, nbrs, explored, queries, step_key,
+        psize=psize, C=C, S=S, m=m, P=P, parallel=parallel,
+        quota=quota, n=n)
+    return ((ids, dist, nbrs, explored),
+            (fid, known, is_first, keep, slot, fo_idx, has_first),
+            idx_q, rnd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dim", "m", "k", "P", "parallel", "quota"),
+    donate_argnames=("beam", "stats"),
+)
+def _update_step(beam, stats, queries, entries, oks, route_out, step_idx,
+                 *, dim, m, k, P, parallel, quota):
+    """Standalone jit of _update_core for the big-tier chained route."""
+    ids, dist, nbrs, explored = beam
+    fid, known, is_first, keep, slot, fo_idx, has_first = route_out
+    ids, dist, nbrs, explored, stats = _update_core(
+        ids, dist, nbrs, explored, stats, queries, entries, oks,
+        fid, known, is_first, keep, slot, fo_idx, has_first, step_idx,
+        dim=dim, m=m, k=k, P=P, parallel=parallel, quota=quota)
+    return (ids, dist, nbrs, explored), stats
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("psize", "C", "R", "Hp", "S", "k", "max_q", "dpp",
@@ -116,124 +280,31 @@ def _fused_segment(db, pir_state, beam, queries, keys, base, n_steps,
     (leftover-budget reuse) without a fresh XLA compile per segment length.
     Global step index g = base + i addresses the visited-table write window
     and the per-step PRNG key, so results are independent of segmentation."""
-    Qn = queries.shape[0]
-    F = Qn * parallel * m               # fetches per step
-    Ep = k * 128
     ids, dist, nbrs, explored = beam
-    cap = ids.shape[1]
     max_step = keys.shape[0]
     bpar = pir_state["backup_parity"]
 
     def step_body(carry, step_idx, step_key):
         (ids, dist, nbrs, explored, pir_carry, stats) = carry
 
-        # 1. frontier pop
-        slots, valid = _pop_parallel_batch(dist, explored, parallel)
-        pop_hit = (jnp.arange(cap, dtype=jnp.int32)[None, None, :]
-                   == slots[:, :, None]) & valid[:, :, None]
-        explored = explored | jnp.any(pop_hit, axis=1)
-        popped = jnp.take_along_axis(
-            nbrs, slots[:, :, None], axis=1)            # (Qn, parallel, m)
-        rk1, rk2 = jax.random.split(step_key)
-        rand_ids = jax.random.randint(
-            rk1, (Qn, parallel, m), 0, n, dtype=jnp.int32)
-        fid = jnp.where(valid[:, :, None], popped, rand_ids).reshape(F)
-        fid = jnp.clip(fid, 0, n - 1)
-
-        # 2. dedup (reference cache semantics, pir.go:381-383):
-        # (a) cross-step: an id already in this query's visited table was
-        #     fetched by an earlier step — its (vector, neighbors) would be
-        #     discarded by the `known` filter below anyway, so don't spend
-        #     a PIR slot on it;
-        # (b) in-step: of the remaining ("wanted") copies, only the FIRST
-        #     goes to PIR; duplicates read the first's response.
-        known = jax.vmap(
-            lambda f, i: jnp.any(f[:, None] == i[None, :], axis=1)
-        )(fid.reshape(Qn, parallel * m), ids)            # (Qn, parallel*m)
-        wanted = ~known.reshape(F)
-        eqm = (fid[:, None] == fid[None, :]) & wanted[None, :]
-        has_first = jnp.any(eqm, axis=1)
-        fo_idx = jnp.argmax(eqm, axis=1).astype(jnp.int32)
-        is_first = (fo_idx == jnp.arange(F, dtype=jnp.int32)) & wanted
-
-        # 3. partition routing with FCFS quota (batch-pir.go:178-216)
-        pa = fid // psize                                # (F,)
-        onehot = (pa[:, None] == jnp.arange(P)[None, :]) & is_first[:, None]
-        rank = jnp.take_along_axis(
-            jnp.cumsum(onehot, axis=0), pa[:, None], axis=1)[:, 0] - 1
-        keep = is_first & (rank < quota)
-        # scatter-free slot inversion: for each target slot (r, p), find
-        # the fetch that routed there (dense argmax-match; TPU scatters
-        # with data-dependent indices are unpredictable)
-        slot = jnp.where(keep, rank * P + pa, -1)
-        sl_iota = jnp.arange(quota * P, dtype=jnp.int32)
-        match = slot[None, :] == sl_iota[:, None]        # (QP, F)
-        src_f = jnp.argmax(match, axis=1).astype(jnp.int32)
-        found = jnp.any(match, axis=1)
-        local = (fid - pa * psize).astype(jnp.int32)
-        idx_q = jnp.where(found, local[src_f], -1).reshape(quota, P)
+        (explored, fid, known, is_first, keep, slot, fo_idx, has_first,
+         idx_q, rnd) = _route_core(
+            ids, dist, nbrs, explored, queries, step_key,
+            psize=psize, C=C, S=S, m=m, P=P, parallel=parallel,
+            quota=quota, n=n)
 
         # 4. PIR protocol rounds — two-phase batched program (_pir_batch)
-        # chunk_size is a power of two, so masking random bits is unbiased
-        rnd = jax.random.bits(rk2, (quota, P, S), jnp.uint32) % np.uint32(C)
-
         pir_carry, entries, oks = _pir_batch(
             db, pir_state.get("table"),
             pir_state["repl_idx"], pir_state["repl_val"], bpar,
             pir_carry, idx_q, rnd,
             C=C, R=R, Hp=Hp, S=S, k=k, max_q=max_q, dpp=dpp,
             masks=pir_state.get("masks"), route=route)
-        entries_flat = jnp.concatenate(
-            [entries.reshape(quota * P, Ep),
-             jnp.zeros((1, Ep), jnp.uint32)])
-        ok_flat = jnp.concatenate(
-            [oks.reshape(quota * P), jnp.zeros(1, bool)])
-        # every fetch reads its FIRST OCCURRENCE's response slot
-        # (overflow/failed firsts resolve to the zero row)
-        sfo = jnp.where(has_first, slot[fo_idx], -1)
-        rslot = jnp.where(sfo >= 0, sfo, quota * P)
-        res = entries_flat[rslot]                        # (F, Ep)
-        res_ok = ok_flat[rslot] & keep[fo_idx] & has_first
 
-        # 5. decode + visited-table update (search.go:187-207)
-        vec = jax.lax.bitcast_convert_type(
-            res[:, :dim], jnp.float32)                   # (F, dim)
-        nb = res[:, dim : dim + m].astype(jnp.int32)     # (F, m)
-
-        q_of = jnp.repeat(jnp.arange(Qn), parallel * m)
-        cdist = jnp.sum(
-            (vec - queries[q_of]) ** 2, axis=-1)
-
-        fid_q = fid.reshape(Qn, parallel * m)
-        vec_q = vec.reshape(Qn, parallel * m, dim)
-        nb_q = nb.reshape(Qn, parallel * m, m)
-        d_q = cdist.reshape(Qn, parallel * m)
-        ok_q = res_ok.reshape(Qn, parallel * m)
-
-        firstocc = jax.vmap(_first_occurrence)(fid_q)
-        nonzero = jnp.any(nb_q != 0, axis=2)
-        accept = ~known & firstocc & nonzero & ok_q
-
-        # contiguous write window [base, base + parallel*m): a dynamic
-        # update slice, not a scatter
-        base = parallel + step_idx * (parallel * m)
-        ids = jax.lax.dynamic_update_slice(
-            ids, jnp.where(accept, fid_q, NEG_ID), (0, base))
-        dist = jax.lax.dynamic_update_slice(
-            dist, jnp.where(accept, d_q, INF), (0, base))
-        nbrs = jax.lax.dynamic_update_slice(
-            nbrs, jnp.where(accept[:, :, None], nb_q, 0), (0, base, 0))
-        explored = jax.lax.dynamic_update_slice(
-            explored, ~accept, (0, base))
-
-        # fetch-success accounting (device-measured): distinct wanted
-        # fetches, quota survivors, and PIR-served survivors. The drop
-        # rate this exposes is the FCFS + hint-miss failure surface the
-        # reference reports as its per-query success rate.
-        stats = stats + jnp.stack(
-            [jnp.sum(is_first, dtype=jnp.int32),
-             jnp.sum(keep, dtype=jnp.int32),
-             jnp.sum(oks, dtype=jnp.int32)])
+        ids, dist, nbrs, explored, stats = _update_core(
+            ids, dist, nbrs, explored, stats, queries, entries, oks,
+            fid, known, is_first, keep, slot, fo_idx, has_first, step_idx,
+            dim=dim, m=m, k=k, P=P, parallel=parallel, quota=quota)
 
         return (ids, dist, nbrs, explored, pir_carry, stats)
 
@@ -300,6 +371,23 @@ class FusedPrivateSearch:
         # device-measured fetch accounting, cumulative over searches:
         # [distinct wanted fetches, quota survivors, PIR-served]
         self.fetch_stats = np.zeros(3, np.int64)
+        # None = auto: big-tier DBs (> _PREP_SPLIT_DB_BYTES) run each beam
+        # step as CHAINED device programs (route / select / server scan /
+        # finish / update — data never leaves the device) instead of the
+        # one-program scan: the fused program compiles at the SIFT100M
+        # shard but faults at execution (device_engine._online has the
+        # same split for the raw batch path). True/False force a route;
+        # both are bit-identical (they share _route_core/_update_core and
+        # _pir_batch's phases — tested).
+        self.split_route: bool | None = None
+
+    def _use_split(self) -> bool:
+        if self.split_route is not None:
+            return self.split_route
+        from pacmann_tpu.pir.device_engine import _PREP_SPLIT_DB_BYTES
+
+        return (int(np.prod(self.engine.db.shape)) * 4
+                > _PREP_SPLIT_DB_BYTES)
 
     def _refresh(self) -> float:
         t0 = time.perf_counter()
@@ -401,6 +489,15 @@ class FusedPrivateSearch:
         self.last_maintenance_s = 0.0
         seg_stats = []
         base = 0
+        use_split = self._use_split()
+        if use_split:
+            route_kw = dict(psize=kw["psize"], C=kw["C"], S=kw["S"], m=self.m,
+                            P=P, parallel=parallel, quota=quota, n=self.n)
+            sel_kw = dict(C=kw["C"], R=kw["R"], Hp=kw["Hp"], S=kw["S"],
+                          k=kw["k"], dpp=kw["dpp"], route=kw["route"])
+            upd_kw = dict(dim=self.dim, m=self.m, k=kw["k"], P=P,
+                          parallel=parallel, quota=quota)
+            stats_dev = jnp.zeros(3, jnp.int32)
         for seg in seg_lens:
             need = seg * quota
             # refresh when the WORST-CASE budget cannot cover this segment
@@ -410,14 +507,38 @@ class FusedPrivateSearch:
                     or e.queries_made_in_partition + need + 10
                     >= p.max_query_num):
                 self.last_maintenance_s += self._refresh()
-            e.state, beam, stats = _fused_segment(
-                e.db, e.state, beam, queries_d, keys,
-                jnp.int32(base), jnp.int32(seg), **kw)
-            seg_stats.append(stats)
+            if use_split:
+                # big-tier route: the same step math as _fused_segment's
+                # scan body, chained as five async device programs per step
+                # (beam state and PIR state stay resident; dispatches
+                # pipeline, so the host loop costs ~1 round trip total)
+                from pacmann_tpu.pir.device_engine import (
+                    _finish_step, _select_step, _server_answer)
+
+                for i in range(seg):
+                    g = base + i
+                    beam, ro, idx_q, rnd = _route_step(
+                        beam, queries_d, keys[g], **route_kw)
+                    sel, qs = _select_step(
+                        e.state, idx_q, rnd,
+                        max_q=kw["max_q"], **sel_kw)
+                    resp = _server_answer(e.db, qs, k=kw["k"])
+                    e.state, entries, oks = _finish_step(
+                        e.state, sel, resp, **sel_kw)
+                    beam, stats_dev = _update_step(
+                        beam, stats_dev, queries_d, entries, oks, ro,
+                        jnp.int32(g), **upd_kw)
+            else:
+                e.state, beam, stats = _fused_segment(
+                    e.db, e.state, beam, queries_d, keys,
+                    jnp.int32(base), jnp.int32(seg), **kw)
+                seg_stats.append(stats)
             # budget bookkeeping mirrors engine.query (batch-pir.go:239-245)
             e.queries_made_in_partition += need
             e.finished_batch_num += seg * (F // e.config.batch_size)
             base += seg
+        if use_split:
+            seg_stats.append(stats_dev)
 
         out_ids, out_steps = _finish_topk(
             beam[0], beam[1], topk=k, parallel=parallel, m=self.m)

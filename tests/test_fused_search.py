@@ -280,3 +280,62 @@ def test_fused_reach_steps_parity_with_host():
         for i, s in zip(ids_f[qi], steps_f[qi]):
             if int(i) in h_map:
                 assert h_map[int(i)] == int(s), (qi, i, s, h_map[int(i)])
+
+
+def test_fused_split_route_bit_identical():
+    """The big-tier chained-programs route (split_route=True: route /
+    select / server scan / finish / update as five device programs per
+    step) must be BIT-identical to the one-program scan — same answers,
+    same reach steps, same device fetch stats, same protocol state. This
+    is the route the SIFT100M shard runs (the fused program faults at that
+    tier, device_engine._online)."""
+    outs = {}
+    for split in (False, True):
+        fs, rng = _mk(44)
+        fs.split_route = split
+        queries = np.random.default_rng(45).random((2, 8)).astype(np.float32)
+        ids1, steps1 = fs.search(queries, k=5, max_step=6, parallel=2,
+                                 seed=9, return_steps=True)
+        # second search exercises leftover-window segmentation on the
+        # chained route too
+        ids2 = fs.search(queries, k=5, max_step=6, parallel=2, seed=10)
+        outs[split] = dict(
+            ids1=ids1, steps1=steps1, ids2=ids2,
+            stats=fs.fetch_stats.copy(),
+            consumed=fs.engine.queries_made_in_partition,
+            state={k: np.asarray(v) for k, v in fs.engine.state.items()})
+    a, b = outs[False], outs[True]
+    assert np.array_equal(a["ids1"], b["ids1"])
+    assert np.array_equal(a["steps1"], b["steps1"])
+    assert np.array_equal(a["ids2"], b["ids2"])
+    assert np.array_equal(a["stats"], b["stats"])
+    assert a["consumed"] == b["consumed"]
+    for key in a["state"]:
+        assert np.array_equal(a["state"][key], b["state"][key]), key
+
+
+def test_fused_split_route_mid_refresh_identical():
+    """Split route with a mid-search hint refresh (multi-segment plan)
+    stays identical to the fused scan under the same refresh schedule."""
+    outs = {}
+    for split in (False, True):
+        rng = np.random.default_rng(46)
+        n, d, m = 1024, 8, 8
+        vectors = rng.random((n, d), dtype=np.float32)
+        graph = np.asarray(build_graph(vectors, m, rounds=2, seed=46),
+                           np.int64)
+        raw = pack_vertex_db(vectors, graph)
+        engine = DevicePianoEngine(n, 4 * (d + m), m, raw, 8)
+        engine.preprocessing(rng=np.random.default_rng(5))
+        sids = np.arange(32)
+        fs = FusedPrivateSearch(engine, sids, vectors[sids], graph[sids],
+                                dim=d, m=m, n=n)
+        fs.split_route = split
+        # Qn=2 parallel=3 m=8, P=4 -> quota 12/step; budget 88 -> the
+        # 12-step search needs a mid-group refresh
+        engine._rng = np.random.default_rng(7)  # identical refresh RNG
+        q = np.random.default_rng(47).random((2, d)).astype(np.float32)
+        out = fs.search(q, k=5, max_step=12, parallel=3, seed=11)
+        assert fs.refreshes >= 1
+        outs[split] = out
+    assert np.array_equal(outs[False], outs[True])
