@@ -159,3 +159,62 @@ def test_sharded_engine_pallas_route_exact():
     out = pir.query(ids)
     for r, idx in enumerate(ids):
         assert np.array_equal(out[r], raw[idx]), f"row {r} idx {idx}"
+
+
+def test_chunk_sharded_matches_single_chip():
+    """ChunkShardedPianoEngine (P < n_devices: SetSize axis sharded,
+    XOR all-reduce over the mesh) answers BIT-identically to the
+    single-chip engine given the same preprocessing/query RNG, and its DB
+    shards each hold exactly S/n_dev chunks."""
+    from pacmann_tpu.pir.sharded_engine import ChunkShardedPianoEngine
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(80)
+    n, eb, batch = 4096, 32, 4   # P=2 partitions < 8 devices
+    raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+
+    single = DevicePianoEngine(n, eb, batch, raw, 20)
+    single.preprocessing(rng=np.random.default_rng(100))
+    sharded = ChunkShardedPianoEngine(n, eb, batch, raw, 20, mesh)
+    sharded.preprocessing(rng=np.random.default_rng(100))
+
+    S = sharded.params.set_size
+    shards = sharded.db.addressable_shards
+    assert len(shards) == 8
+    for s in shards:
+        assert s.data.shape[0] == S // 8, s.data.shape
+
+    # identical offline state (chunk-sharded hint-gen == single-chip)
+    for key in ("table", "slot_col", "primary_parity", "backup_parity",
+                "repl_idx", "repl_val", "tag", "prog", "hist", "finished"):
+        assert np.array_equal(np.asarray(single.state[key]),
+                              np.asarray(sharded.state[key])), key
+
+    # identical online answers + protocol state across several batches
+    qrng = np.random.default_rng(8)
+    for _ in range(3):
+        ids = [int(i) for i in qrng.integers(0, n, batch)]
+        single._rng = np.random.default_rng(9)
+        sharded._rng = np.random.default_rng(9)
+        oa = single.query(list(ids))
+        ob = sharded.query(list(ids))
+        assert np.array_equal(oa, ob)
+    for key in ("tag", "prog", "slot_col", "hist", "finished",
+                "primary_parity"):
+        assert np.array_equal(np.asarray(single.state[key]),
+                              np.asarray(sharded.state[key])), key
+    assert (sharded.queries_made_in_partition
+            == single.queries_made_in_partition)
+
+
+def test_chunk_sharded_rejects_indivisible_mesh():
+    from pacmann_tpu.pir.sharded_engine import ChunkShardedPianoEngine
+
+    mesh = make_mesh(3)
+    rng = np.random.default_rng(81)
+    raw = rng.integers(0, 2**32, size=(4096, 8), dtype=np.uint32)
+    try:
+        ChunkShardedPianoEngine(4096, 32, 4, raw, 20, mesh)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "divisible" in str(e)
