@@ -96,7 +96,10 @@ def test_fcfs_success_matches_analytic_contract():
     model (expected_success_rate): quota-overflow drops follow
     E[min(Binom(B,1/P), quota)] (batch-pir.go:194-235) and survivors miss
     w.p. 2^-failLog2 (pir.go:416-419). A drift beyond tolerance means the
-    routing, dedup, or budget logic silently regressed."""
+    routing, dedup, or budget logic silently regressed. retries=0 pins
+    the strict single-round contract the model describes (the default one
+    retry round re-serves drops and lifts success above it — covered by
+    test_query_retry_*)."""
     from pacmann_tpu.pir.device_engine import DevicePianoEngine
     from pacmann_tpu.pir.params import expected_success_rate
 
@@ -112,7 +115,7 @@ def test_fcfs_success_matches_analytic_contract():
         # distinct uniform ids (the model's i.i.d.-assignment assumption)
         ids = rng.choice(n, size=batch, replace=False)
         pir.cache = {}  # keep every round a real protocol round
-        out = pir.query([int(i) for i in ids])
+        out = pir.query([int(i) for i in ids], retries=0)
         for r, idx in enumerate(ids):
             if np.array_equal(out[r], raw[idx]):
                 served += 1
