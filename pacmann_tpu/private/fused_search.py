@@ -97,13 +97,42 @@ def _seed_beam(queries, start_ids, start_vecs, start_nbrs, *,
     return ids, dist, nbrs, explored
 
 
-def _route_core(ids, dist, nbrs, explored, queries, step_key,
+@functools.partial(
+    jax.jit, static_argnames=("Qn", "parallel", "m", "n", "quota", "P",
+                              "S", "C"))
+def _draw_step_randoms(keys, *, Qn, parallel, m, n, quota, P, S, C):
+    """Pre-draw every step's PRNG values in ONE vectorized program.
+
+    The per-step threefry graphs (split + randint + bits) are ~200
+    StableHLO ops each; executed inside the scan body they were a large
+    share of the fixed per-step op-count overhead (the group-1 roofline
+    term, RESULTS.md). One batched draw over all max_step keys costs a
+    single wide kernel instead. vmap(split/randint/bits) over stacked
+    keys is bit-identical to the former per-step calls (asserted by the
+    fused-vs-host-twin and split-route identity tests).
+
+    Returns (rand_ids_all (T, Qn, parallel, m) i32 — random padding for
+    invalid pops — and rnd_all (T, quota, P, S) u32 — oblivious dummy
+    offsets)."""
+    ks = jax.vmap(jax.random.split)(keys)            # (T, 2, 2)
+    rand_ids_all = jax.vmap(
+        lambda k: jax.random.randint(
+            k, (Qn, parallel, m), 0, n, dtype=jnp.int32))(ks[:, 0])
+    rnd_all = jax.vmap(
+        lambda k: jax.random.bits(
+            k, (quota, P, S), jnp.uint32) % np.uint32(C))(ks[:, 1])
+    return rand_ids_all, rnd_all
+
+
+def _route_core(ids, dist, nbrs, explored, queries, rand_ids, rnd,
                 *, psize, C, S, m, P, parallel, quota, n):
     """Steps 1-3 of a beam+PIR step: frontier pop, dedup, FCFS routing.
 
     Pure function shared VERBATIM by the one-program scan (_fused_segment)
     and the big-tier chained-programs route (_route_step) — bit-identity of
-    the two routes follows from sharing this trace. Returns the updated
+    the two routes follows from sharing this trace. rand_ids (Qn,
+    parallel, m) i32 and rnd (quota, P, S) u32 are this step's pre-drawn
+    PRNG values (see _draw_step_randoms). Returns the updated
     `explored` plus everything later phases need:
     (explored, fid (F,), known (Qn, parallel*m), is_first, keep, slot,
      fo_idx, has_first (F,), idx_q (quota, P), rnd (quota, P, S))."""
@@ -118,9 +147,6 @@ def _route_core(ids, dist, nbrs, explored, queries, step_key,
     explored = explored | jnp.any(pop_hit, axis=1)
     popped = jnp.take_along_axis(
         nbrs, slots[:, :, None], axis=1)            # (Qn, parallel, m)
-    rk1, rk2 = jax.random.split(step_key)
-    rand_ids = jax.random.randint(
-        rk1, (Qn, parallel, m), 0, n, dtype=jnp.int32)
     fid = jnp.where(valid[:, :, None], popped, rand_ids).reshape(F)
     fid = jnp.clip(fid, 0, n - 1)
 
@@ -157,9 +183,6 @@ def _route_core(ids, dist, nbrs, explored, queries, step_key,
     local = (fid - pa * psize).astype(jnp.int32)
     idx_q = jnp.where(found, local[src_f], -1).reshape(quota, P)
 
-    # dummy offsets for the PIR rounds (chunk_size is a power of two, so
-    # masking random bits is unbiased)
-    rnd = jax.random.bits(rk2, (quota, P, S), jnp.uint32) % np.uint32(C)
     return (explored, fid, known, is_first, keep, slot, fo_idx, has_first,
             idx_q, rnd)
 
@@ -230,13 +253,20 @@ def _update_core(ids, dist, nbrs, explored, stats, queries, entries, oks,
     static_argnames=("psize", "C", "S", "m", "P", "parallel", "quota", "n"),
     donate_argnames=("beam",),
 )
-def _route_step(beam, queries, step_key, *, psize, C, S, m, P, parallel,
-                quota, n):
-    """Standalone jit of _route_core for the big-tier chained route."""
+def _route_step(beam, queries, rand_all, rnd_all, g, *, psize, C, S, m, P,
+                parallel, quota, n):
+    """Standalone jit of _route_core for the big-tier chained route.
+
+    rand_all/rnd_all are the WHOLE search's pre-drawn PRNG arrays
+    (_draw_step_randoms) and g the traced global step — the same
+    clip+slice as the one-program scan body, so the two routes stay
+    bit-identical."""
     ids, dist, nbrs, explored = beam
+    T = rand_all.shape[0]
+    gc = jnp.clip(g, 0, T - 1)
     (explored, fid, known, is_first, keep, slot, fo_idx, has_first,
      idx_q, rnd) = _route_core(
-        ids, dist, nbrs, explored, queries, step_key,
+        ids, dist, nbrs, explored, queries, rand_all[gc], rnd_all[gc],
         psize=psize, C=C, S=S, m=m, P=P, parallel=parallel,
         quota=quota, n=n)
     return ((ids, dist, nbrs, explored),
@@ -283,13 +313,19 @@ def _fused_segment(db, pir_state, beam, queries, keys, base, n_steps,
     ids, dist, nbrs, explored = beam
     max_step = keys.shape[0]
     bpar = pir_state["backup_parity"]
+    Qn = queries.shape[0]
+    # every step's PRNG values in one vectorized draw (the in-scan
+    # threefry graphs were a large share of the per-step op overhead)
+    rand_all, rnd_all = _draw_step_randoms(
+        keys, Qn=Qn, parallel=parallel, m=m, n=n, quota=quota, P=P,
+        S=S, C=C)
 
-    def step_body(carry, step_idx, step_key):
+    def step_body(carry, step_idx, rand_ids, rnd):
         (ids, dist, nbrs, explored, pir_carry, stats) = carry
 
         (explored, fid, known, is_first, keep, slot, fo_idx, has_first,
          idx_q, rnd) = _route_core(
-            ids, dist, nbrs, explored, queries, step_key,
+            ids, dist, nbrs, explored, queries, rand_ids, rnd,
             psize=psize, C=C, S=S, m=m, P=P, parallel=parallel,
             quota=quota, n=n)
 
@@ -310,10 +346,10 @@ def _fused_segment(db, pir_state, beam, queries, keys, base, n_steps,
 
     def step_fn(carry, i):
         g = base + i
-        step_key = keys[jnp.clip(g, 0, max_step - 1)]
+        gc = jnp.clip(g, 0, max_step - 1)
         carry = jax.lax.cond(
             i < n_steps,
-            lambda c: step_body(c, g, step_key),
+            lambda c: step_body(c, g, rand_all[gc], rnd_all[gc]),
             lambda c: c,
             carry)
         return carry, None
@@ -498,6 +534,11 @@ class FusedPrivateSearch:
             upd_kw = dict(dim=self.dim, m=self.m, k=kw["k"], P=P,
                           parallel=parallel, quota=quota)
             stats_dev = jnp.zeros(3, jnp.int32)
+            # the whole search's PRNG values, drawn once (same clip+slice
+            # per step as the one-program scan — bit-identity)
+            rand_all, rnd_all = _draw_step_randoms(
+                keys, Qn=Qn, parallel=parallel, m=self.m, n=self.n,
+                quota=quota, P=P, S=kw["S"], C=kw["C"])
         for seg in seg_lens:
             need = seg * quota
             # refresh when the WORST-CASE budget cannot cover this segment
@@ -518,7 +559,8 @@ class FusedPrivateSearch:
                 for i in range(seg):
                     g = base + i
                     beam, ro, idx_q, rnd = _route_step(
-                        beam, queries_d, keys[g], **route_kw)
+                        beam, queries_d, rand_all, rnd_all, jnp.int32(g),
+                        **route_kw)
                     sel, qs = _select_step(
                         e.state, idx_q, rnd,
                         max_q=kw["max_q"], **sel_kw)
