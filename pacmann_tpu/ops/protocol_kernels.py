@@ -174,6 +174,184 @@ def claim_select(slot_col, prog, chunk_q, off_q, real_q,
                               C=C, dpp=dpp, interpret=interpret)
 
 
+# ---------------------------------------------------------------------------
+# Kernel 2: the ENTIRE client selection (Phase A + budgets + Phase B-prep)
+# as ONE Pallas program — the group-1 latency kernel.
+
+
+def _select_full_kernel(cq_ref, oq_ref, rq_ref, ho_ref, fin_ref,
+                        pg_ref, tg_ref, col_ref, tab_ref, rp_ref, rnd_ref,
+                        qs_ref, hit_ref, okq_ref, okr_ref, ig_ref,
+                        *, Hp: int, Q: int, S: int, R: int, C: int,
+                        max_q: int, dpp: int):
+    """Grid (P,). Per partition: Q statically-unrolled protocol rounds —
+    greedy claim, replacement budgets, and the (S,) query-set build — all
+    in one program. ~25 small vector ops per round replace the XLA
+    select's ~390-op graph whose per-kernel launch overhead dominates the
+    fused step at small Q (RESULTS.md group-1 roofline).
+
+    SMEM: cq/oq/rq/ho (P, Q) i32 (chunk, offset, real, hist[chunk] per
+    round), fin (P, 1) i32. VMEM blocks per partition: pg/tg (1, Hh, 128)
+    prog/tag sheets, col (1, S, Hh, 128) slot columns, tab (1, T, S)
+    offset table, rp (1, S, R) replacement offsets, rnd (1, Q, S) dummy
+    rows. Outputs: qs (1, Q, S) i32 VMEM; hit/okq/okr/ig (P, Q) i32 SMEM.
+    Bit-equivalence contract vs the XLA route: hit, ok_q, ok_r, ig and
+    EVERY qs row match exactly (non-served rows are the same rnd dummies;
+    value differences on masked internal terms never escape)."""
+    p = pl.program_id(0)
+    Hh = pg_ref.shape[1]
+    h2 = (jax.lax.broadcasted_iota(jnp.int32, (Hh, 128), 0) * 128
+          + jax.lax.broadcasted_iota(jnp.int32, (Hh, 128), 1))
+    big = jnp.int32(Hh * 128)
+    progv = pg_ref[0]                                   # (Hh, 128) i32
+    tagv = tg_ref[0]                                    # (Hh, 128) i32
+    pc = jnp.where(progv != dpp, progv // C, -1)        # programmed chunk
+    claimed = h2 >= Hp
+    fin = fin_ref[p, 0]
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+    rankp = jnp.int32(0)
+    cks, fnds = [], []
+
+    for q in range(Q):
+        ck = cq_ref[p, q]
+        off = oq_ref[p, q]
+        real = rq_ref[p, q]
+        # --- claim (pir.go:404-419): first eligible unclaimed slot
+        col = col_ref[0, pl.ds(ck, 1)][0].astype(jnp.int32)   # (Hh, 128)
+        elig = (col == off) & (pc != ck) & (~claimed)
+        mh = jnp.min(jnp.where(elig, h2, big))
+        fnd = jnp.logical_and(mh < big, real != 0)
+        mv = jnp.where(fnd, mh, big)
+        hitm = h2 == mv
+        claimed = claimed | hitm
+        hit_tag = jnp.sum(jnp.where(hitm, tagv, 0))
+        hp = jnp.sum(jnp.where(hitm, progv, 0))
+        # --- budgets (order-of-round semantics, device_engine lines)
+        cnt = jnp.int32(0)
+        for ck_p, fnd_p in zip(cks, fnds):
+            cnt = cnt + jnp.where(fnd_p & (ck_p == ck), 1, 0)
+        ig = ho_ref[p, q] + cnt + jnp.where(fnd, 0, -1)
+        okr = fnd & (ig < R)
+        okq = okr & (rankp < max_q - fin)
+        rankp = rankp + okr.astype(jnp.int32)
+        igc = jnp.minimum(ig, R - 1)
+        # --- Phase B-prep: the (S,) offset row (client->server message)
+        row = tab_ref[0, pl.ds(hit_tag, 1), :].astype(jnp.int32)  # (1, S)
+        hp_set = hp != dpp
+        row = jnp.where((s_iota == hp // C) & hp_set, hp % C, row)
+        rrow = rp_ref[0, pl.ds(ck, 1), :].astype(jnp.int32)       # (1, R)
+        r_sel = jnp.sum(jnp.where(r_iota == igc, rrow, 0))
+        row = jnp.where(s_iota == ck, r_sel % C, row)
+        row = jnp.where(okq, row, rnd_ref[0, q:q + 1, :].astype(jnp.int32))
+        qs_ref[0, q:q + 1, :] = row
+        hit_ref[p, q] = jnp.where(fnd, mh, 0)
+        okq_ref[p, q] = okq.astype(jnp.int32)
+        okr_ref[p, q] = okr.astype(jnp.int32)
+        ig_ref[p, q] = igc
+        cks.append(ck)
+        fnds.append(fnd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "R", "Hp", "S", "max_q", "dpp", "interpret"))
+def _select_full_impl(slot_col, prog, tag, table, repl_idx, hist, finished,
+                      idx_q, rnd_q, *, C, R, Hp, S, max_q, dpp, interpret):
+    Q, P = idx_q.shape
+    T = table.shape[1]
+    Hpp = _ceil_to(Hp, 128)
+    Hh = Hpp // 128
+
+    real_q = idx_q >= 0
+    idxu_q = jnp.where(real_q, idx_q, 0).astype(jnp.uint32)
+    chunk_q = (idxu_q // C).astype(jnp.int32)
+    off_q = (idxu_q % C).astype(jnp.int32)
+    p_ix2 = jnp.broadcast_to(jnp.arange(P)[None, :], (Q, P))
+    hist_own = hist[p_ix2, chunk_q]                    # (Q, P) i32
+
+    progp, tagp, colp = prog, tag, slot_col
+    if Hpp != Hp:
+        progp = jnp.pad(progp, ((0, 0), (0, Hpp - Hp)))
+        tagp = jnp.pad(tagp, ((0, 0), (0, Hpp - Hp)))
+        colp = jnp.pad(colp, ((0, 0), (0, 0), (0, Hpp - Hp)))
+    pg4 = progp.astype(jnp.int32).reshape(P, Hh, 128)
+    tg4 = tagp.astype(jnp.int32).reshape(P, Hh, 128)
+    col4 = colp.reshape(P, S, Hh, 128)
+
+    smem = lambda: pl.BlockSpec((P, Q), lambda p: (0, 0),
+                                memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _select_full_kernel, Hp=Hp, Q=Q, S=S, R=R, C=C, max_q=max_q,
+        dpp=dpp)
+    qsT, hit, okq, okr, ig = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((P, Q, S), jnp.int32),
+                   jax.ShapeDtypeStruct((P, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((P, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((P, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((P, Q), jnp.int32)),
+        grid=(P,),
+        in_specs=[
+            smem(), smem(), smem(), smem(),
+            pl.BlockSpec((P, 1), lambda p: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hh, 128), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hh, 128), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Hh, 128), lambda p: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, S), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, R), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, S), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Q, S), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem(), smem(), smem(), smem(),
+        ),
+        interpret=interpret,
+    )(chunk_q.T, off_q.T, real_q.T.astype(jnp.int32), hist_own.T,
+      finished.astype(jnp.int32)[:, None], pg4, tg4, col4,
+      table, repl_idx, jnp.transpose(rnd_q, (1, 0, 2)))
+
+    qs = jnp.transpose(qsT, (1, 0, 2)).astype(jnp.uint32)
+    sel = (hit.T, okq.T != 0, okr.T != 0, ig.T, chunk_q, idxu_q, None)
+    return sel, qs
+
+
+def select_full(slot_col, prog, tag, table, repl_idx, hist, finished,
+                idx_q, rnd_q, *, C, R, Hp, S, max_q, dpp,
+                interpret: bool | None = None):
+    """The ENTIRE _pir_select as one Pallas program (+ a handful of glue
+    ops): Phase-A greedy claim, replacement/budget accounting, and the
+    query-set build. Route 'fused' of the client protocol — targets
+    SMALL per-step batches (the group-1 serving shape) where the XLA
+    select's kernel-launch overhead dominates. Requires the resident
+    offset table (not table_free). Returns (sel, qs) exactly like
+    _pir_select; outputs are bit-identical to the XLA route on hit,
+    ok_q, ok_r, ig, and every qs row (tests pin this)."""
+    if interpret is None:
+        interpret = default_interpret()
+    S_, Hp_ = slot_col.shape[1], slot_col.shape[2]
+    Hpp = _ceil_to(Hp_, 128)
+    T = table.shape[1]
+    vmem = (S_ * Hpp * slot_col.dtype.itemsize + 2 * Hpp * 4
+            + T * S_ * table.dtype.itemsize + S_ * R * 4
+            + 2 * idx_q.shape[0] * S_ * 4)
+    if vmem > 12 * 2**20:
+        raise ValueError(
+            f"select_full VMEM block {vmem/2**20:.1f} MB exceeds the "
+            "12 MB bound; route 'xla'")
+    return _select_full_impl(
+        slot_col, prog, tag, table, repl_idx, hist, finished, idx_q, rnd_q,
+        C=C, R=R, Hp=Hp, S=S, max_q=max_q, dpp=dpp, interpret=interpret)
+
+
 def claim_select_np(slot_col, prog, chunk_q, off_q, real_q, *, C, dpp):
     """NumPy twin of claim_select (semantics oracle)."""
     Q, P = chunk_q.shape

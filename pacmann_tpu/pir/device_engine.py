@@ -245,6 +245,16 @@ def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
     tag, prog, ppar, slot_col, hist, finished = carry
     Q, P = idx_q.shape
 
+    if _resolve_route(route) == "fused" and masks is None:
+        # the whole selection as ONE Pallas program (claim + budgets +
+        # query-set build) — the small-batch serving route; bit-identical
+        # to the dense path below on every output (tests pin it)
+        from pacmann_tpu.ops.protocol_kernels import select_full
+
+        return select_full(
+            slot_col, prog, tag, table, repl_idx, hist, finished,
+            idx_q, rnd_q, C=C, R=R, Hp=Hp, S=S, max_q=max_q, dpp=dpp)
+
     real_q = idx_q >= 0
     idxu_q = jnp.where(real_q, idx_q, 0).astype(jnp.uint32)
     chunk_q = (idxu_q // C).astype(jnp.int32)          # (Q, P)

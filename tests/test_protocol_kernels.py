@@ -78,6 +78,91 @@ def test_refresh_parity_matches_numpy_twin():
         assert np.array_equal(np.asarray(out), ref), (Q, P, Hp, Ep)
 
 
+def test_select_full_matches_xla_route():
+    """The one-program 'fused' selection kernel is bit-identical to the
+    XLA _pir_select on the full contract — hit, ok_q, ok_r, ig, and every
+    qs row — fuzzed over random protocol state, dummy rounds, in-batch
+    contention, and budget denial."""
+    import functools
+
+    from pacmann_tpu.pir.device_engine import _pir_select
+
+    rng = np.random.default_rng(13)
+    for Q, P, S, Hp, C, R, max_q in [
+            (6, 4, 8, 480, 32, 5, 1000),   # Hp pad path, group-1-like Q
+            (8, 2, 4, 256, 64, 3, 4),      # tight budget -> denials
+            (16, 3, 5, 896, 128, 7, 9)]:
+        T = Hp + S * R
+        dpp = 0x7FFFFFFF
+        for contention in (False, True):
+            slot_col = rng.integers(0, C, size=(P, S, Hp)).astype(np.uint16)
+            prog = rng.integers(0, S * C, size=(P, Hp)).astype(np.uint32)
+            prog[rng.random((P, Hp)) < 0.5] = dpp
+            tag = rng.integers(0, T, size=(P, Hp)).astype(np.int32)
+            table = rng.integers(0, C, size=(P, T, S)).astype(np.uint16)
+            repl_idx = rng.integers(0, S * C, size=(P, S, R)).astype(
+                np.uint32)
+            hist = rng.integers(0, R, size=(P, S)).astype(np.int32)
+            finished = rng.integers(0, max(max_q - 2, 1), size=(P,)).astype(
+                np.int32)
+            if contention:
+                idx_q = np.full((Q, P), int(rng.integers(0, S * C)),
+                                np.int32)
+            else:
+                idx_q = rng.integers(0, S * C, size=(Q, P)).astype(np.int32)
+            idx_q[rng.random((Q, P)) < 0.2] = -1
+            rnd = rng.integers(0, C, size=(Q, P, S)).astype(np.uint32)
+            carry = (jnp.asarray(tag), jnp.asarray(prog),
+                     jnp.zeros((P, 1, 1), jnp.uint32),
+                     jnp.asarray(slot_col), jnp.asarray(hist),
+                     jnp.asarray(finished))
+            call = functools.partial(
+                _pir_select, jnp.asarray(table), jnp.asarray(repl_idx),
+                carry, jnp.asarray(idx_q), jnp.asarray(rnd),
+                C=C, R=R, Hp=Hp, S=S, k=1, max_q=max_q, dpp=dpp)
+            sel_x, qs_x = call(route="xla")
+            sel_f, qs_f = call(route="fused")
+            tagn = (Q, P, S, Hp, C, R, max_q, contention)
+            assert np.array_equal(np.asarray(qs_x), np.asarray(qs_f)), tagn
+            for i, name in enumerate(("hit", "ok_q", "ok_r", "ig",
+                                      "chunk", "idxu")):
+                assert np.array_equal(
+                    np.asarray(sel_x[i]), np.asarray(sel_f[i])), (name, tagn)
+
+
+def test_engine_state_identical_fused_route():
+    """Full engine state evolves identically with the fused selection
+    kernel routed in (interpret off-TPU), including contended batches."""
+    from pacmann_tpu.pir.device_engine import DevicePianoEngine
+
+    rng = np.random.default_rng(14)
+    n, entry_bytes, batch = 8192, 32, 32
+    raw = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    engines = []
+    for route in ("xla", "fused"):
+        pir = DevicePianoEngine(n, entry_bytes, batch, raw, 20,
+                                kernel_route=route)
+        pir.preprocessing(rng=np.random.default_rng(100))
+        ids = [int(i * pir.config.partition_size + 7)
+               for i in range(pir.config.partition_num)]
+        out = pir.query(ids)
+        for r, idx in enumerate(ids):
+            assert np.array_equal(out[r], raw[idx]), (route, r)
+        Q = 8
+        idx_q = np.full((Q, pir.config.partition_num), 17, np.int32)
+        p = pir.params
+        rand_offs = (np.random.default_rng(12).integers(
+            0, 2**32, size=(Q, pir.config.partition_num, p.set_size),
+            dtype=np.uint64) & np.uint64(p.chunk_mask)).astype(np.uint32)
+        pir.state = pir._online(idx_q, rand_offs)[0]
+        engines.append(pir)
+    a, b = engines
+    for key in ("tag", "prog", "primary_parity", "slot_col", "hist",
+                "finished"):
+        assert np.array_equal(np.asarray(a.state[key]),
+                              np.asarray(b.state[key])), key
+
+
 def test_engine_exact_with_pallas_route():
     """Full engine answers stay exact with both protocol kernels routed in
     (interpret mode): the kernel path is protocol-equivalent to the XLA
