@@ -224,6 +224,27 @@ def _resolve_aes_route():
     return _resolve(None, "PACMANN_AES_ROUTE", _DEFAULT_AES_ROUTE)
 
 
+# Phase-C refresh form: row-targeted scatters up to this many update rows
+# per step, the dense streaming rewrite above it. Measured on real v5e
+# (probe_finish_scatter): scatter wins decisively at the group-1 shape
+# (96 rows); the dense form is shape-independent and stays the fallback
+# for very large batches.
+_SCATTER_REFRESH_ROWS = 2048
+
+
+def _resolve_refresh(route, rows: int) -> str:
+    """Refresh-write routing, resolved at TRACE time (rows = Q*P is
+    static). $PACMANN_REFRESH_ROUTE in {"auto", "scatter", "dense"};
+    auto = scatter for small update sets, dense above the threshold.
+    Both forms are bit-identical (fuzz-tested; device-verified)."""
+    import os
+
+    choice = os.environ.get("PACMANN_REFRESH_ROUTE", "auto")
+    if choice == "auto":
+        return "scatter" if rows <= _SCATTER_REFRESH_ROWS else "dense"
+    return choice
+
+
 def _pir_select(table, repl_idx, carry, idx_q, rnd_q,
                 *, C, R, Hp, S, k, max_q, dpp, masks=None, route=None):
     """Client-side phases A+B-prep: slot selection and query-set build.
@@ -388,36 +409,49 @@ def _pir_finish(repl_val, bpar, table, carry, sel, resp,
     par = ppar[p_ix, hit_q]                              # (Q, P, Ep)
     entries = jnp.where(ok_q[..., None], resp ^ r_val ^ par, 0)
 
-    # ---- Phase C: refresh scatters (slots unique per partition)
+    # ---- Phase C: refresh writes (slots unique per partition)
     btag = Hp + chunk_q * R + ig_q                       # (Q, P)
     bp = bpar[p_ix, btag - Hp]
     new_par = bp ^ entries
-    # SCATTER-FREE refresh: TPU scatters with data-dependent indices are
-    # unpredictable (colliding ones serialize; the unique_indices hint is
-    # not reliably honored), so invert the mapping densely instead — for
-    # every primary slot (p, h), find the round q that refreshed it (at
-    # most one, by the reservation invariant) and rewrite the arrays with
-    # masked selects. ~0.3 ms of streaming traffic at SIFT1M group-16
-    # shapes, fully parallel, bit-identical.
-    hit_v = jnp.where(ok_q, hit_q, -1)                   # (Q, P)
-    h_iota = jnp.arange(Hp, dtype=jnp.int32)
-    m3 = hit_v[:, :, None] == h_iota[None, None, :]      # (Q, P, Hp)
-    upd = jnp.any(m3, axis=0)                            # (P, Hp)
-    src = jnp.argmax(m3, axis=0).astype(jnp.int32)       # (P, Hp) -> q
-    p_grid = jnp.broadcast_to(jnp.arange(P)[:, None], (P, Hp))
-    # dense gather+select rewrite on BOTH routes: the Pallas in-place
-    # refresh kernel measured 7x slower (full parity stream + serialized
-    # Q loop) and lives in ops/attic.py with its verdict — the "pallas"
-    # protocol route now means the claim kernel only (which ties XLA).
-    ppar = jnp.where(upd[..., None], new_par[src, p_grid], ppar)
-    tag = jnp.where(upd, btag[src, p_grid], tag)
-    prog = jnp.where(upd, idxu_q[src, p_grid], prog)
-    # refresh the cached PRF columns of the consumed slots (table-free
-    # mode pre-evaluated them in _pir_select's fused PRF call)
+    # refreshed PRF columns of the consumed slots (table-free mode
+    # pre-evaluated them in _pir_select's fused PRF call)
     new_col = (free_col if free_col is not None
                else table[p_ix, btag]).astype(slot_col.dtype)  # (Q, P, S)
-    sc_new = jnp.swapaxes(new_col[src, p_grid], 1, 2)    # (P, S, Hp)
-    slot_col = jnp.where(upd[:, None, :], sc_new, slot_col)
+    if _resolve_refresh(route, Q * P) == "scatter":
+        # row-targeted scatters on the donated state: the refreshed slots
+        # are UNIQUE per partition (reservation invariant) and non-served
+        # rounds route to index Hp, which is out of bounds and dropped.
+        # MEASURED (probe_finish_scatter, real v5e, 2026-08-19): finish
+        # goes from 1.64 ms/step to ~0 at Q=6 and the full
+        # select+scan+finish chain 3.12 -> 1.55 ms/step; bit-identical to
+        # the dense rewrite on-device over chained real steps.
+        idx3 = jnp.where(ok_q, hit_q, Hp)                # (Q, P)
+        pg = jnp.broadcast_to(jnp.arange(P)[None, :], (Q, P))
+        ppar = ppar.at[pg, idx3].set(
+            new_par, mode="drop", unique_indices=True)
+        tag = tag.at[pg, idx3].set(
+            btag.astype(tag.dtype), mode="drop", unique_indices=True)
+        prog = prog.at[pg, idx3].set(
+            idxu_q, mode="drop", unique_indices=True)
+        slot_col = slot_col.at[pg, :, idx3].set(
+            new_col, mode="drop", unique_indices=True)
+    else:
+        # SCATTER-FREE dense rewrite — invert the mapping: for every
+        # primary slot (p, h), find the round q that refreshed it (at
+        # most one) and rewrite the arrays with masked selects. Streams
+        # the full parity/slot-col state (~290 MB at SIFT1M shapes) but
+        # is shape-independent in Q — the big-batch form.
+        hit_v = jnp.where(ok_q, hit_q, -1)               # (Q, P)
+        h_iota = jnp.arange(Hp, dtype=jnp.int32)
+        m3 = hit_v[:, :, None] == h_iota[None, None, :]  # (Q, P, Hp)
+        upd = jnp.any(m3, axis=0)                        # (P, Hp)
+        src = jnp.argmax(m3, axis=0).astype(jnp.int32)   # (P, Hp) -> q
+        p_grid = jnp.broadcast_to(jnp.arange(P)[:, None], (P, Hp))
+        ppar = jnp.where(upd[..., None], new_par[src, p_grid], ppar)
+        tag = jnp.where(upd, btag[src, p_grid], tag)
+        prog = jnp.where(upd, idxu_q[src, p_grid], prog)
+        sc_new = jnp.swapaxes(new_col[src, p_grid], 1, 2)  # (P, S, Hp)
+        slot_col = jnp.where(upd[:, None, :], sc_new, slot_col)
     # burn the group index of every admitted candidate (ok_r), including
     # rounds later denied by the global budget — their (replacement, backup)
     # pair is spent-by-assignment and must never be reused. One-hot sum

@@ -87,7 +87,7 @@ def main():
     p, c = eng.params, eng.config
     P, S, C = c.partition_num, p.set_size, p.chunk_size
     R, Hp = p.max_query_per_chunk, p.primary_hint_num
-    Q = 6
+    Q = int(os.environ.get("PROBE_Q", "6"))
     NSTEP = 20
     kw = dict(C=C, R=R, Hp=Hp, S=S, k=eng.k, max_q=p.max_query_num,
               dpp=DEFAULT_PROGRAM_POINT)

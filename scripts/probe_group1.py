@@ -36,7 +36,8 @@ def main():
     n, dim, m = 1_000_000, 128, 32
     entry_bytes = 4 * dim + 4 * m
     raw = synth_raw_auto(n, entry_bytes // 4, float_cols=dim, nbr_cols=m)
-    eng = DevicePianoEngine(n, entry_bytes, m, raw, 8)
+    eng = DevicePianoEngine(n, entry_bytes, m, raw, 8,
+                            kernel_route=os.environ.get("PROBE_KROUTE"))
     np.asarray(eng.db[-1, -1, -1])
     print("db up", flush=True)
     eng.preprocessing(rng=np.random.default_rng(1))
@@ -92,7 +93,8 @@ def main():
         print(f"{tag}: {best*1000:.3f} ms/step", flush=True)
         return best
 
-    for route in ("xla", "pallas"):
+    routes = tuple(os.environ.get("PROBE_ROUTES", "xla,pallas").split(","))
+    for route in routes:
         kwr = dict(kw, route=route)
 
         def sel_only(state, carry, idx, rnd, db):

@@ -2,6 +2,7 @@
 (interpret mode off-TPU), plus engine-level exactness with the kernels
 routed in."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -161,6 +162,59 @@ def test_engine_state_identical_fused_route():
                 "finished"):
         assert np.array_equal(np.asarray(a.state[key]),
                               np.asarray(b.state[key])), key
+
+
+def test_finish_scatter_matches_dense():
+    """The row-targeted scatter refresh and the dense streaming rewrite
+    produce identical carries and entries — fuzzed over random state,
+    unique hit slots, denial masks, and OOB-dropped failures."""
+    import os
+
+    from pacmann_tpu.pir.device_engine import _pir_finish
+
+    rng = np.random.default_rng(15)
+    for Q, P, S, Hp, C, R, k in [(6, 4, 8, 480, 32, 5, 1),
+                                 (16, 3, 5, 896, 128, 7, 2)]:
+        T = Hp + S * R
+        Ep = k * 128
+        tag = rng.integers(0, T, size=(P, Hp)).astype(np.int32)
+        prog = rng.integers(0, S * C, size=(P, Hp)).astype(np.uint32)
+        ppar = rng.integers(0, 2**32, size=(P, Hp, Ep), dtype=np.uint32)
+        slot_col = rng.integers(0, C, size=(P, S, Hp)).astype(np.uint16)
+        hist = rng.integers(0, R, size=(P, S)).astype(np.int32)
+        finished = rng.integers(0, 50, size=(P,)).astype(np.int32)
+        repl_val = rng.integers(0, 2**32, size=(P, S, R, Ep),
+                                dtype=np.uint32)
+        bpar = rng.integers(0, 2**32, size=(P, S * R, Ep), dtype=np.uint32)
+        table = rng.integers(0, C, size=(P, T, S)).astype(np.uint16)
+        # unique hit slots per partition (the reservation invariant)
+        hit = np.stack(
+            [rng.choice(Hp, size=Q, replace=False) for _ in range(P)],
+            axis=1).astype(np.int32)
+        ok_q = rng.random((Q, P)) < 0.7
+        ok_r = ok_q | (rng.random((Q, P)) < 0.2)
+        ig = rng.integers(0, R, size=(Q, P)).astype(np.int32)
+        chunk = rng.integers(0, S, size=(Q, P)).astype(np.int32)
+        idxu = rng.integers(0, S * C, size=(Q, P)).astype(np.uint32)
+        resp = rng.integers(0, 2**32, size=(Q, P, Ep), dtype=np.uint32)
+        carry = tuple(jnp.asarray(x) for x in
+                      (tag, prog, ppar, slot_col, hist, finished))
+        sel = (jnp.asarray(hit), jnp.asarray(ok_q), jnp.asarray(ok_r),
+               jnp.asarray(ig), jnp.asarray(chunk), jnp.asarray(idxu),
+               None)
+        outs = {}
+        for which in ("dense", "scatter"):
+            os.environ["PACMANN_REFRESH_ROUTE"] = which
+            try:
+                outs[which] = jax.device_get(_pir_finish(
+                    jnp.asarray(repl_val), jnp.asarray(bpar),
+                    jnp.asarray(table), carry, sel, jnp.asarray(resp),
+                    C=C, R=R, Hp=Hp, S=S, k=k, dpp=0x7FFFFFFF))
+            finally:
+                del os.environ["PACMANN_REFRESH_ROUTE"]
+        for a, b in zip(jax.tree.leaves(outs["dense"]),
+                        jax.tree.leaves(outs["scatter"])):
+            assert np.array_equal(a, b), (Q, P)
 
 
 def test_engine_exact_with_pallas_route():
