@@ -226,10 +226,12 @@ def _resolve_aes_route():
 
 # Phase-C refresh form: row-targeted scatters up to this many update rows
 # per step, the dense streaming rewrite above it. Measured on real v5e
-# (probe_finish_scatter): scatter wins decisively at the group-1 shape
-# (96 rows); the dense form is shape-independent and stays the fallback
-# for very large batches.
-_SCATTER_REFRESH_ROWS = 2048
+# (probe_finish_scatter, 2026-08-19, SIFT1M shapes): scatter wins at every
+# tested batch — full-step 3.12->1.55 ms at Q*P=96 (group 1), 5.48->3.67
+# at 1536 (group 16), 9.31->7.68 at 6144 (group 64). The dense form is
+# shape-independent and stays the fallback for batches beyond the
+# measured range.
+_SCATTER_REFRESH_ROWS = 8192
 
 
 def _resolve_refresh(route, rows: int) -> str:

@@ -547,6 +547,15 @@ class FusedPrivateSearch:
             if (e.state is None
                     or e.queries_made_in_partition + need + 10
                     >= p.max_query_num):
+                # Drain in-flight segment compute BEFORE the refresh timer
+                # starts: device programs execute serially, so the sync at
+                # the end of preprocessing() would otherwise absorb the
+                # prior segment's remaining async compute into the
+                # maintenance account (measured as refreshes 13-37 % over
+                # standalone prep; the drained time is query compute and
+                # stays in the wall-clock compute term where it belongs).
+                if e.state is not None:
+                    _ = np.asarray(e.state["finished"][-1])
                 self.last_maintenance_s += self._refresh()
             if use_split:
                 # big-tier route: the same step math as _fused_segment's
