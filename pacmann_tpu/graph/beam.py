@@ -36,17 +36,17 @@ INF = jnp.float32(np.inf)
 
 
 def _pop_parallel(dist, explored, parallel):
-    """Extract-min `parallel` times; returns slot indices + validity mask."""
-    picked = []
-    valid = []
+    """Extract-min `parallel` times; returns slot indices + validity mask.
+
+    One top_k replaces the former sequential argmin+mask loop (the fused
+    path's form, fused_search._beam_pop): lax.top_k is stable, so equal
+    distances pop in ascending slot order — exactly the order the
+    argmin-then-mask loop produced (argmin returns the first minimum).
+    """
     masked = jnp.where(explored, INF, dist)
-    for _ in range(parallel):
-        i = jnp.argmin(masked)
-        ok = masked[i] < INF
-        picked.append(jnp.where(ok, i, 0))
-        valid.append(ok)
-        masked = masked.at[i].set(INF)
-    return jnp.stack(picked), jnp.stack(valid)
+    neg, idx = jax.lax.top_k(-masked, parallel)
+    valid = neg > -INF
+    return jnp.where(valid, idx, 0), valid
 
 
 def _first_occurrence_mask(ids):
