@@ -370,6 +370,49 @@ def main() -> int:
         return min(comp) * 1000 / G, maint_ms, fs.fetch_success_rate(), bound
 
     fused_query_ms, _, _, _ = fused_time(1, 9)
+
+    # device-only twin of the group-1 latency: R raw segment dispatches
+    # back-to-back with ONE dependent D2H sync at the end, so the
+    # per-dispatch tunnel round trip amortizes away and what remains is
+    # device compute + kernel launches — the number a real co-located
+    # serving deployment would see (the wall figure above includes the
+    # measurement tunnel's ~27 ms RTT once per search).
+    import jax.numpy as jnp
+
+    from pacmann_tpu.private.fused_search import _fused_segment, _seed_beam
+    from pacmann_tpu.pir.params import DEFAULT_PROGRAM_POINT
+
+    pir.preprocessing(rng=np.random.default_rng(5))  # fresh budget window
+    p1, c1 = pir.params, pir.config
+    g1kw = dict(psize=c1.partition_size, C=p1.chunk_size,
+                R=p1.max_query_per_chunk, Hp=p1.primary_hint_num,
+                S=p1.set_size, k=pir.k, max_q=p1.max_query_num,
+                dpp=DEFAULT_PROGRAM_POINT, dim=dim, m=m,
+                P=c1.partition_num, parallel=3,
+                quota=3 * m // c1.partition_num, n=n,
+                route=pir.kernel_route)
+    q1_d = jnp.asarray(rng.random((1, dim), dtype=np.float32))
+
+    def _g1_once(state, seed):
+        beam = _seed_beam(q1_d, fs.start_ids, fs.start_vecs, fs.start_nbrs,
+                          parallel=3, cap=3 + 20 * 3 * m, m=m)
+        state, beam, stats = _fused_segment(
+            pir.db, state, beam, q1_d,
+            jax.random.split(jax.random.PRNGKey(seed), 20),
+            jnp.int32(0), jnp.int32(20), **g1kw)
+        return state, stats
+
+    g1_state = pir.state
+    g1_state, g1_stats = _g1_once(g1_state, 70)   # warm (compile + sync)
+    np.asarray(g1_stats)
+    g1_reps = 8
+    t3 = time.perf_counter()
+    for rp in range(g1_reps):
+        g1_state, g1_stats = _g1_once(g1_state, 71 + rp)
+    np.asarray(g1_stats)
+    fused_query_device_ms = (time.perf_counter() - t3) / g1_reps * 1000
+    pir.state = g1_state
+    pir.queries_made_in_partition += (g1_reps + 1) * 20 * g1kw["quota"]
     fused16_ms_per_query, maint_ms_per_query, succ16, bound16 = fused_time(
         16, 20, reps=5)
     diag16 = fused_time.last_diag
@@ -400,6 +443,8 @@ def main() -> int:
             "online_ms_per_batch96": round(online_ms, 2),
             "online_success_rate": round(ok / max(tot, 1), 4),
             "fused_private_query_ms": round(fused_query_ms, 2),
+            "fused_private_query_device_ms": round(
+                fused_query_device_ms, 2),
             "fused16_ms_per_query": round(fused16_ms_per_query, 2),
             "fused32_ms_per_query": round(fused32_ms_per_query, 2),
             "maintenance_ms_per_query_group16": round(maint_ms_per_query, 2),
