@@ -1,25 +1,34 @@
-"""SIFT100M per-chip shard proof on REAL hardware (VERDICT r3 task 6).
+"""SIFT100M per-chip shard proof on REAL hardware (VERDICT r3 task 6 +
+r4 task 2: the full fused private SEARCH at the big tier).
 
 reports/sift100m_plan.json closes the 100M-tier byte budget on paper:
 8 chips x 2 partitions x 6.25M entries x 640 B (run-private-search.sh's
 SIFT100M config: n=1e8, d=128, m=32, batch 32 -> 16 partitions,
 step=32, parallel=4). This probe runs ONE chip's exact shard on the real
 v5e — same partition size, same derived PianoPIR parameters — and
-measures the plan's compute half:
+measures:
 
   - offline hint-gen (preprocessing) wall-clock  [plan estimate 4.2 s]
   - online batch step at the per-shard shapes (128 global fetches /
     16 partitions = quota 8 per partition per step; 32 steps/query)
-  - exact correctness of served entries against the packed DB
+  - exact correctness of served entries against the host entry formula
+  - the END-TO-END fused private search (beam+PIR) over the shard via
+    the big-tier chained-programs route (FusedPrivateSearch auto-splits
+    when the DB exceeds _PREP_SPLIT_DB_BYTES), with per-entry exactness
+    asserted THROUGH the search's own fetch chain
   - HBM residency (device memory_stats where the plugin exposes them)
 
 The 11.9 GiB DB shard is synthesized DIRECTLY into the packed
 (S, P, C*k, 128) layout in HBM — raw (8 GB) + packed cannot coexist on a
-16 GB chip, and the tunnel cannot upload 8 GB (measured 0.3-6 MB/s) —
-via a deterministic u32 mix of the flat index, so the host can compute
-any expected entry without holding the DB.
+16 GB chip, and the tunnel cannot upload 8 GB (measured 0.3-6 MB/s).
+Entries decode as a VALID private-search vertex DB (the oracle packing,
+private/oracle.py: f32[128] vector ‖ u32[32] neighbor ids) from a
+deterministic u32 mix of the id, so the host can compute any expected
+entry / vector / neighbor list without holding the DB, and the beam
+actually traverses a (pseudo-random) graph.
 
 Usage: python scripts/probe_100m_shard.py [--n 12500000] [--steps 32]
+       [--search-steps 32] [--search-parallel 4] [--cpu] [--force-split]
 """
 import argparse
 import functools
@@ -31,37 +40,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 MIX_A = np.uint32(2654435761)   # Knuth multiplicative hash, wraps mod 2^32
 MIX_B = np.uint32(0x9E3779B9)
+D_VEC = 128                     # vector lanes (the tier's d)
+M_NBR = 32                      # neighbor slots (the tier's m)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def synth_packed(S: int, P: int, CK: int, L: int):
-    """(S, P, CK, L) u32 pattern db[s,p,r,l] = mix(flat_index), generated
-    in one fused iota pass (no RNG state, no second buffer)."""
-    def flat(dim):
-        return jax.lax.broadcasted_iota(jnp.uint32, (S, P, CK, L), dim)
-
-    f = ((flat(0) * np.uint32(P) + flat(1)) * np.uint32(CK)
-         + flat(2)) * np.uint32(L) + flat(3)
-    return f * MIX_A + MIX_B
+def host_vec(gidx: int) -> np.ndarray:
+    """(128,) f32 vector of entry gidx — host twin of the device synth."""
+    w = np.arange(D_VEC, dtype=np.uint32)
+    h = (np.uint32(gidx) * np.uint32(D_VEC) + w) * MIX_A + MIX_B
+    return (h >> np.uint32(8)).astype(np.float32) * np.float32(2.0 ** -24)
 
 
-def expected_entry(gidx: int, *, psize, C, k, P, entry_u32) -> np.ndarray:
-    """Host twin of synth_packed for one entry (160 u32 words)."""
-    p, i = divmod(gidx, psize)
-    s, c = divmod(i, C)
-    words = []
-    for r in range(k):
-        row = np.uint32(((np.uint32(s) * np.uint32(P) + np.uint32(p))
-                         * np.uint32(C * k)
-                         + np.uint32(c * k + r)) * np.uint32(128))
-        lane = np.arange(128, dtype=np.uint32)
-        words.append((row + lane) * MIX_A + MIX_B)
-    return np.concatenate(words)[:entry_u32]
+def host_nbrs(gidx: int, n: int) -> np.ndarray:
+    """(32,) u32 neighbor ids of entry gidx — host twin."""
+    j = np.arange(M_NBR, dtype=np.uint32)
+    h = (np.uint32(gidx) ^ (j * MIX_B)) * MIX_A
+    h = h ^ (h >> np.uint32(15))
+    return h % np.uint32(n)
+
+
+def expected_entry(gidx: int, *, n: int, entry_u32: int) -> np.ndarray:
+    """Host twin of one packed entry (160 u32 words: vec bits ‖ nbrs)."""
+    return np.concatenate(
+        [host_vec(gidx).view(np.uint32), host_nbrs(gidx, n)])[:entry_u32]
 
 
 def main():
@@ -72,14 +76,64 @@ def main():
     ap.add_argument("--quota", type=int, default=8,
                     help="per-partition sub-queries per step (100M tier: "
                          "parallel*m/partitions = 4*32/16)")
+    ap.add_argument("--search-steps", type=int, default=32,
+                    help="beam steps of the fused private search phase "
+                         "(0 skips it)")
+    ap.add_argument("--search-parallel", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (small-shape smoke)")
+    ap.add_argument("--force-split", action="store_true",
+                    help="force the big-tier chained route even when the "
+                         "DB is under the auto-split threshold (smoke)")
+    ap.add_argument("--out", default=None,
+                    help="report path (default reports/sift100m_shard.json "
+                         "on TPU; /tmp/sift100m_smoke.json under --cpu so "
+                         "smoke runs never clobber the hardware record)")
     args = ap.parse_args()
 
-    from pacmann_tpu.pir.device_engine import (
-        DevicePianoEngine, _pir_batch)
-    from pacmann_tpu.pir.params import DEFAULT_PROGRAM_POINT
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+    def synth_packed(S: int, P: int, CK: int, L: int, psize: int, n: int,
+                     k: int):
+        """(S, P, CK, L) u32 packed DB whose entries decode as the vertex
+        oracle's packing: word w of entry gidx is
+          w <  128        : bit pattern of f32 vector lane w  (in [0,1))
+          128 <= w < 160  : neighbor id  mix2(gidx, w-128) % n
+          w >= 160        : 0 (row padding)
+        generated in one fused iota pass — no RNG state, no second buffer.
+        Rows past psize in the last chunks are layout padding (never
+        addressed by real queries; they only contribute consistently to
+        hint parities)."""
+        def flat(dim):
+            return jax.lax.broadcasted_iota(jnp.uint32, (S, P, CK, L), dim)
+
+        s_, p_, r_, l_ = flat(0), flat(1), flat(2), flat(3)
+        kk = np.uint32(k)
+        c = r_ // kk
+        rr = r_ - c * kk
+        C = np.uint32(CK // k)
+        gidx = p_ * np.uint32(psize) + s_ * C + c
+        w = rr * np.uint32(L) + l_
+        h = (gidx * np.uint32(D_VEC) + w) * MIX_A + MIX_B
+        vf = (h >> np.uint32(8)).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+        vbits = jax.lax.bitcast_convert_type(vf, jnp.uint32)
+        j = w - np.uint32(D_VEC)
+        hn = (gidx ^ (j * MIX_B)) * MIX_A
+        hn = hn ^ (hn >> np.uint32(15))
+        nbr = hn % np.uint32(n)
+        return jnp.where(
+            w < np.uint32(D_VEC), vbits,
+            jnp.where(w < np.uint32(D_VEC + M_NBR), nbr, np.uint32(0)))
+
+    from pacmann_tpu.pir.device_engine import DevicePianoEngine
 
     n, entry_bytes, batch = args.n, 640, 4        # batch 4 -> P=2 local
     entry_u32 = entry_bytes // 4
+    assert entry_u32 == D_VEC + M_NBR
 
     # Derive first (cheap, host-only) so synthesis knows the shapes.
     from pacmann_tpu.pir.params import derive_batch_params, derive_piano_params
@@ -95,7 +149,7 @@ def main():
     print(f"packed db: {db_gib:.2f} GiB", flush=True)
 
     t0 = time.perf_counter()
-    db = synth_packed(S, P, C * k, 128)
+    db = synth_packed(S, P, C * k, 128, c.partition_size, n, k)
     np.asarray(db[-1, -1, -1, -1])                # force materialization
     t_synth = time.perf_counter() - t0
     print(f"synth: {t_synth:.1f} s", flush=True)
@@ -127,8 +181,13 @@ def main():
 
     # write prep results NOW: the probe's later phases have their own
     # failure modes and the prep measurements must survive them
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "reports", "sift100m_shard.json")
+    if args.out:
+        out_path = args.out
+    elif args.cpu:
+        out_path = "/tmp/sift100m_smoke.json"
+    else:
+        out_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "reports", "sift100m_shard.json")
     report = {
         "config": {"n_shard": n, "entry_bytes": entry_bytes,
                    "partitions": P, "partition_size": c.partition_size,
@@ -143,88 +202,27 @@ def main():
         "hbm": mem,
         "platform": jax.devices()[0].platform,
     }
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=1)
 
-    # ---- online sub-phase probes first (localize faults at tier shapes:
-    # prep was blocked by three distinct compile/memory failure modes
-    # before it ran, each only identifiable by bisection)
-    rng = np.random.default_rng(11)
-    from pacmann_tpu.pir.device_engine import (
-        _select_step, _server_answer, DEFAULT_PROGRAM_POINT as _dpp)
-    pp0 = eng.params
-    for tag, fn in (
-        ("select", lambda: _select_step(
-            eng.state,
-            jnp.asarray(rng.integers(0, c.partition_size, size=(2, P))
-                        .astype(np.int32)),
-            jnp.asarray((rng.integers(0, 2**31, size=(2, P, S),
-                                      dtype=np.int64) % C).astype(np.uint32)),
-            C=C, R=pp0.max_query_per_chunk, Hp=pp0.primary_hint_num, S=S,
-            k=eng.k, max_q=pp0.max_query_num, dpp=_dpp)),
-        ("server_scan", lambda: _server_answer(
-            eng.db,
-            jnp.asarray((rng.integers(0, 2**31, size=(2, P, S),
-                                      dtype=np.int64) % C).astype(np.uint32)),
-            k=eng.k)),
-    ):
-        t0 = time.perf_counter()
-        try:
-            r = fn()
-            np.asarray(jax.tree.leaves(r)[0].reshape(-1)[-1])
-            print(f"online sub-phase {tag}: OK "
-                  f"({time.perf_counter()-t0:.1f}s)", flush=True)
-        except Exception as e:
-            print(f"online sub-phase {tag}: FAIL {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
-            report[f"online_{tag}_error"] = str(e)[:300]
-            with open(out_path, "w") as f:
-                json.dump(report, f, indent=1)
-
-    # chained split-program round (the measure_comm client/server boundary
-    # path): select -> scan -> finish as three dispatches — exercises the
-    # finish phase, which the single-program probes above skip
-    from pacmann_tpu.pir.device_engine import _finish_step
-    try:
-        t0 = time.perf_counter()
-        idx2 = jnp.asarray(rng.integers(
-            0, c.partition_size, size=(2, P)).astype(np.int32))
-        rnd2 = jnp.asarray((rng.integers(0, 2**31, size=(2, P, S),
-                                         dtype=np.int64) % C)
-                           .astype(np.uint32))
-        kwp = dict(C=C, R=pp0.max_query_per_chunk, Hp=pp0.primary_hint_num,
-                   S=S, k=eng.k, dpp=_dpp)
-        sel, qs = _select_step(eng.state, idx2, rnd2,
-                               max_q=pp0.max_query_num, **kwp)
-        resp = _server_answer(eng.db, qs, k=eng.k)
-        new_state, entries, oks = _finish_step(eng.state, sel, resp, **kwp)
-        np.asarray(entries[-1, -1, -1])
-        eng.state = new_state
-        print(f"online sub-phase finish (split round): OK "
-              f"({time.perf_counter()-t0:.1f}s)", flush=True)
-    except Exception as e:
-        print(f"online sub-phase finish: FAIL {type(e).__name__}: "
-              f"{str(e)[:200]}", flush=True)
-        report["online_finish_error"] = str(e)[:300]
+    def save():
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
 
+    save()
+
     # ---- correctness: serve real batches through the public query API
+    rng = np.random.default_rng(11)
     ok = tot = 0
     for _ in range(4):
         ids = [int(x) for x in rng.integers(0, n, size=batch)]
         out = eng.query(ids)
         for r, g in enumerate(ids):
-            exp = expected_entry(g, psize=c.partition_size, C=C, k=k,
-                                 P=P, entry_u32=entry_u32)
-            served = np.any(out[r] != 0)
-            if served:
+            exp = expected_entry(g, n=n, entry_u32=entry_u32)
+            if np.any(out[r] != 0):
                 tot += 1
                 ok += int(np.array_equal(out[r], exp))
     print(f"exact served entries: {ok}/{tot}", flush=True)
     report["exact_entries"] = [ok, tot]
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=1)
+    save()
     assert ok == tot and tot > 0, "served entries mismatch"
 
     # ---- online: the batch step at per-shard shapes, host-looped over
@@ -266,10 +264,138 @@ def main():
         query_compute_ms=round(t_query * 1000, 2),
         maintenance_ms_per_query=round(maint * 1000, 2),
         queries_per_window=queries_per_window,
-        exact_entries=[ok, tot],
     )
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=1)
+    save()
+
+    # ---- the END-TO-END fused private search over the shard (VERDICT r4
+    # task 2: the flagship beam+PIR search running at the >4 GiB tier via
+    # the big-tier chained-programs route, fused_search.py:_route_step /
+    # _select_step / _server_answer / _finish_step / _update_step — all
+    # state device-resident, dispatches pipeline).
+    if args.search_steps <= 0:
+        print(f"report -> {out_path}", flush=True)
+        return
+
+    from pacmann_tpu.pir.device_engine import (
+        DEFAULT_PROGRAM_POINT as _dpp, _finish_step, _select_step,
+        _server_answer)
+    from pacmann_tpu.private import fused_search as fsm
+    from pacmann_tpu.private.fused_search import FusedPrivateSearch
+
+    steps, par = args.search_steps, args.search_parallel
+    n_starts = 64
+    sids = ((np.arange(n_starts, dtype=np.uint64) * 2654435761) % n) \
+        .astype(np.int64)
+    svecs = np.stack([host_vec(int(g)) for g in sids])
+    snbrs = np.stack([host_nbrs(int(g), n) for g in sids]).astype(np.int64)
+    fs = FusedPrivateSearch(eng, sids, svecs, snbrs, dim=D_VEC, m=M_NBR, n=n)
+    if args.force_split:
+        fs.split_route = True
+    route = "split" if fs._use_split() else "fused"
+    print(f"search route: {route}", flush=True)
+    report["search_route"] = route
+    queries = rng.random((4, D_VEC)).astype(np.float32)
+
+    # Entry exactness THROUGH the search's own chained fetch path: route
+    # two steps from a seeded beam, serve them with the exact program
+    # chain the timed search uses (this also IS the remote-compile warmup
+    # for those programs), and check every served (quota, P) entry
+    # against the host formula.
+    Qn = 1
+    F = Qn * par * M_NBR
+    quota = F // P
+    cap = par + steps * par * M_NBR
+    qd = jnp.asarray(queries[:1])
+    beam = fsm._seed_beam(qd, fs.start_ids, fs.start_vecs, fs.start_nbrs,
+                          parallel=par, cap=cap, m=M_NBR)
+    keys = jax.random.split(jax.random.PRNGKey(5), steps)
+    rand_all, rnd_all = fsm._draw_step_randoms(
+        keys, Qn=Qn, parallel=par, m=M_NBR, n=n, quota=quota, P=P,
+        S=S, C=C)
+    route_kw = dict(psize=c.partition_size, C=C, S=S, m=M_NBR, P=P,
+                    parallel=par, quota=quota, n=n)
+    sel_kw = dict(C=C, R=pp.max_query_per_chunk, Hp=pp.primary_hint_num,
+                  S=S, k=eng.k, dpp=_dpp, route=eng.kernel_route)
+    upd_kw = dict(dim=D_VEC, m=M_NBR, k=eng.k, P=P, parallel=par,
+                  quota=quota)
+    stats = jnp.zeros(3, jnp.int32)
+    ok_e = tot_e = 0
+    t0 = time.perf_counter()
+    for g in range(2):
+        beam, ro, idx_q, rnd = fsm._route_step(
+            beam, qd, rand_all, rnd_all, jnp.int32(g), **route_kw)
+        sel, qs = _select_step(eng.state, idx_q, rnd,
+                               max_q=pp.max_query_num, **sel_kw)
+        resp = _server_answer(eng.db, qs, k=eng.k)
+        eng.state, entries, oks = _finish_step(eng.state, sel, resp,
+                                               **sel_kw)
+        idx_np, ok_np, ent_np = (np.asarray(idx_q), np.asarray(oks),
+                                 np.asarray(entries))
+        for r in range(quota):
+            for pi in range(P):
+                li = int(idx_np[r, pi])
+                if li < 0 or not bool(ok_np.reshape(quota, P)[r, pi]):
+                    continue
+                exp = expected_entry(pi * c.partition_size + li, n=n,
+                                     entry_u32=entry_u32)
+                ent_row = ent_np.reshape(quota, P, -1)[r, pi]
+                ok_e += int(np.array_equal(ent_row[:entry_u32], exp))
+                tot_e += 1
+        beam, stats = fsm._update_step(beam, stats, qd, entries, oks, ro,
+                                       jnp.int32(g), **upd_kw)
+    eng.queries_made_in_partition += 2 * quota
+    print(f"search-chain exact entries: {ok_e}/{tot_e} "
+          f"({time.perf_counter()-t0:.1f}s incl. compiles)", flush=True)
+    report["search_exact_entries"] = [ok_e, tot_e]
+    save()
+    assert ok_e == tot_e and tot_e > 0, "search-chain entries mismatch"
+
+    # warm end-to-end search (compiles _finish_topk; everything else is
+    # already compiled by the verification chain above)
+    fs.ensure_budget(steps, Qn, par, min_steps=steps)
+    t0 = time.perf_counter()
+    ans = fs.search(queries[:1], k=10, max_step=steps, parallel=par, seed=6)
+    t_warm = time.perf_counter() - t0
+    print(f"search warm call: {t_warm:.1f} s, answers {ans[0][:4]}...",
+          flush=True)
+
+    # timed group-1 searches; hints refreshed OUTSIDE the timed region
+    # (maintenance is accounted separately, like the reference report)
+    times = []
+    for i in range(3):
+        fs.ensure_budget(steps, Qn, par, min_steps=steps)
+        t0 = time.perf_counter()
+        out = fs.search(queries[i + 1: i + 2], k=10, max_step=steps,
+                        parallel=par, seed=7 + i)
+        times.append(time.perf_counter() - t0)
+    t_search = min(times)
+    consumed = steps * quota
+    maint_search = t_prep * consumed / pp.max_query_num
+    succ = fs.fetch_success_rate()
+    print(f"fused private search: {t_search*1000:.1f} ms/query "
+          f"({steps} steps x parallel {par}, quota {quota}/partition), "
+          f"maintenance {maint_search*1000:.1f} ms/query amortized, "
+          f"fetch success {succ:.4f}", flush=True)
+
+    # answer sanity: the returned ranking must agree with host-recomputed
+    # true distances (the ids' vectors are host-computable)
+    q0 = queries[3]
+    d_host = [float(((host_vec(int(a)) - q0) ** 2).sum())
+              for a in out[0] if a >= 0]
+    assert all(x <= y + 1e-4 for x, y in zip(d_host, d_host[1:])), d_host
+    print(f"answer ranking consistent with host distances "
+          f"({len(d_host)} answers)", flush=True)
+
+    report.update(
+        search_steps=steps, search_parallel=par,
+        search_quota_per_partition=quota,
+        search_ms_per_query=round(t_search * 1000, 2),
+        search_maintenance_ms_per_query=round(maint_search * 1000, 2),
+        search_fetch_success=round(succ, 4),
+        search_warm_s=round(t_warm, 2),
+        search_refreshes=fs.refreshes,
+    )
+    save()
     print(f"report -> {out_path}", flush=True)
 
 
