@@ -511,7 +511,17 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     t_start = time.perf_counter()
 
     def _el():
-        return f"[{time.perf_counter() - t_start:.1f}s]"
+        # elapsed + live HBM (when the plugin exposes memory_stats):
+        # the per-phase prints double as the build's memory profile, so
+        # big-n runs document which phase presses the HBM wall first
+        el = f"[{time.perf_counter() - t_start:.1f}s"
+        try:
+            ms = jax.local_devices()[0].memory_stats()
+            el += (f" hbm {ms['bytes_in_use']/2**30:.1f}"
+                   f"/{ms['peak_bytes_in_use']/2**30:.1f}G")
+        except Exception:
+            pass
+        return el + "]"
 
     rng = np.random.default_rng(seed)
     on_device = isinstance(vectors, jax.Array) and not isinstance(

@@ -185,6 +185,13 @@ def main():
         build_s = time.time() - t0
         report["build_s"] = round(build_s, 1)
         print(f"graph built: {build_s:.1f}s", flush=True)
+        try:
+            import jax
+            ms = jax.local_devices()[0].memory_stats()
+            report["hbm_peak_build_gib"] = round(
+                ms["peak_bytes_in_use"] / 2**30, 2)
+        except Exception:
+            pass
         np.save(gpath, graph.astype(np.int32))
     if args.build_only:
         with open(report_path, "w") as f:
@@ -240,6 +247,12 @@ def main():
     prep_s = time.time() - t0
     report["prep_s"] = round(prep_s, 2)
     print(f"prep: {prep_s:.1f}s (incl. compile)", flush=True)
+    try:
+        import jax
+        ms = jax.local_devices()[0].memory_stats()
+        report["hbm_peak_gib"] = round(ms["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
 
     fs = FusedPrivateSearch(engine, sids, np.asarray(vectors[sids]),
                             graph[sids], dim=d, m=m, n=n)
