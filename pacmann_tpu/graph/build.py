@@ -688,6 +688,11 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     wide_ids, wide_d = _run(
         "wide", _nn_round_device, vectors_dev, sqn, graph_dev, sub,
         nsn=2, n_random=16, block=blk, n_real=n, out_m=cand_local, wide=True)
+    if verbose:
+        # D2H read, not block_until_ready (which can return early on
+        # tunneled platforms): attributes a worker fault to THIS phase
+        _ = np.asarray(wide_d[-1, -1])
+        print(f"wide round done {_el()}", flush=True)
     far = jax.random.randint(sub2, (npad, n_far), 0, n, jnp.int32)
     far = jnp.where(far == jnp.arange(npad)[:, None], (far + 1) % n, far)
     # dist values below are only validity markers for the prune (it
@@ -700,6 +705,9 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                   labels, cent, ids_s, cstarts, csizes, sub5, L=Lad)
     ladder_d = jnp.where(ladder != jnp.arange(npad)[:, None],
                          jnp.zeros((), wide_d.dtype), jnp.inf)
+    if verbose:
+        _ = np.asarray(ladder[-1, -1])
+        print(f"ladder done {_el()}", flush=True)
 
     # 2a. temporary NAVIGABLE graph: alpha-prune of locals + far randoms +
     # the ladder (the alpha rule keeps far edges when local slots run dry).
@@ -721,7 +729,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                          (nav_fill + 1) % n, nav_fill)
     nav = jnp.where(nav < 0, nav_fill, nav)
     if verbose:
-        nav.block_until_ready()
+        _ = np.asarray(nav[-1, -1])
         print(f"nav graph done {_el()}", flush=True)
 
     # 2b. search-based candidates (the NGT/Vamana mechanism, SURVEY §7
