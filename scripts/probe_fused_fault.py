@@ -60,7 +60,7 @@ LADDER = [4_400_000, 6_300_000, 8_350_000, 8_700_000, 12_500_000]
 CPU_LADDER = [16_384, 32_768]
 
 
-def run_one(n: int, cpu: bool) -> dict:
+def run_one(n: int, cpu: bool, real: bool = False) -> dict:
     """Subprocess body: one shape, fused first, split on fused fault."""
     import jax
     if cpu:
@@ -100,7 +100,18 @@ def run_one(n: int, cpu: bool) -> dict:
 
     eng = DevicePianoEngine(n, ENTRY_BYTES, BATCH, None, 8, packed_db=db)
     del db
-    eng.dummy_preprocessing(rng=np.random.default_rng(3))
+
+    def prep():
+        if real:
+            eng.preprocessing(rng=np.random.default_rng(3))
+        else:
+            eng.dummy_preprocessing(rng=np.random.default_rng(3))
+
+    t0 = time.perf_counter()
+    prep()
+    rec["real_state"] = real
+    print(f"prep ({'real' if real else 'dummy'}) "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(5)
     idx_q = jnp.asarray(
@@ -125,8 +136,8 @@ def run_one(n: int, cpu: bool) -> dict:
               f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
     # --- the split route at the same shape (donation consumed eng.state
-    # only on fused success; rebuild dummy state either way — cheap)
-    eng.dummy_preprocessing(rng=np.random.default_rng(3))
+    # only on fused success; rebuild state either way)
+    prep()
     t0 = time.perf_counter()
     try:
         sel, qs = _select_step(eng.state, idx_q, rnd,
@@ -147,6 +158,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--one", type=int, default=0,
                     help="run a single shape in-process (subprocess body)")
+    ap.add_argument("--real", action="store_true",
+                    help="real preprocessing instead of dummy state (the "
+                         "original fault context had real hint state; this "
+                         "costs a full hint generation per shape)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--timeout", type=int, default=1500,
                     help="per-shape subprocess bound (remote compiles are "
@@ -154,7 +169,7 @@ def main():
     args = ap.parse_args()
 
     if args.one:
-        rec = run_one(args.one, args.cpu)
+        rec = run_one(args.one, args.cpu, args.real)
         print("RESULT " + json.dumps(rec), flush=True)
         # exit code encodes the fused verdict for the driver loop
         sys.exit(0 if rec.get("fused") == "ok" else 2)
@@ -169,6 +184,8 @@ def main():
         cmd = [sys.executable, os.path.abspath(__file__), "--one", str(n)]
         if args.cpu:
             cmd.append("--cpu")
+        if args.real:
+            cmd.append("--real")
         print(f"=== n={n}", flush=True)
         try:
             cp = subprocess.run(cmd, capture_output=True, text=True,
