@@ -99,16 +99,44 @@ def _reverse_sample_device(graph, key, nsn: int, n_real: int):
     return jnp.where((rev < 0) | (rev >= n_real), fill, rev)
 
 
+def _merge_topk(ids_m, d_m, out_m):
+    """Exact top-out_m distinct merge of concatenated per-slice top-k
+    results: re-apply the sort-based dedup (a candidate can appear in
+    several slices) and keep the out_m smallest. Correct because any
+    member of the global distinct top-out_m is inside its own slice's
+    distinct top-out_m. Sorted by (id, dist) — not id alone — so the
+    finite copy of an id survives dedup even when another slice emitted
+    the same id as inf-masked top-k filler."""
+    cs, ds = jax.lax.sort((ids_m, d_m), dimension=1, num_keys=2)
+    dup = jnp.concatenate(
+        [jnp.zeros((ids_m.shape[0], 1), bool), cs[:, 1:] == cs[:, :-1]],
+        axis=1)
+    ds = jnp.where(dup, jnp.inf, ds)
+    negd, idx = jax.lax.top_k(-ds, out_m)
+    return jnp.take_along_axis(cs, idx, axis=1), -negd
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "nsn", "n_random", "block", "n_real", "out_m", "wide"))
+    "nsn", "n_random", "block", "n_real", "out_m", "wide", "wide_parts"))
 def _nn_round_device(vectors, sqn, graph, key, *, nsn: int, n_random: int,
-                     block: int, n_real: int, out_m: int, wide: bool):
+                     block: int, n_real: int, out_m: int, wide: bool,
+                     wide_parts: int = 1):
     """One full NN-descent round on device -> ((npad, out_m) ids, dists).
 
     wide=False: candidates = own neighbors + nsn sampled neighbors-of-
     neighbors each + nsn reverse edges + n_random randoms, keep top out_m=m.
     wide=True: the final widened pool — ALL m^2 neighbors-of-neighbors +
     randoms, keep top out_m=cand_size (prune pool; build_graph.go:384 role).
+
+    wide_parts: split the wide round's m^2 candidate columns into this
+    many slices, each scored+top-k'd separately and exactly merged
+    (_merge_topk). The single-slice wide program's (block, m+m^2+r, d)
+    gather/einsum crashes the TPU worker at n=4M at ANY block size
+    (probe_wide_fault: blocks 2048/1024/512 all fault) while the narrow
+    descent rounds run fine at the same n — the fault tracks candidate
+    WIDTH, so big builds slice the width back into the proven descent
+    shape class. Output is bit-identical to wide_parts=1 up to top-k
+    ties (same distance values, same dedup rule).
     """
     npad, m = graph.shape
     nblocks = npad // block
@@ -120,6 +148,25 @@ def _nn_round_device(vectors, sqn, graph, key, *, nsn: int, n_random: int,
         nbrs = jax.lax.dynamic_slice(graph, (b * block, 0), (block, m))
         kb = jax.random.fold_in(k_blocks, b)
         nn_all = graph[nbrs.reshape(-1)].reshape(block, m, m)
+        if wide and wide_parts > 1:
+            rnd = jax.random.randint(
+                jax.random.fold_in(kb, 2), (block, n_random), 0, n_real,
+                jnp.int32)
+            q = jax.lax.dynamic_slice(
+                vectors, (b * block, 0), (block, vectors.shape[1]))
+            per = -(-m // wide_parts)
+            outs = []
+            for j in range(wide_parts):
+                nnj = nn_all[:, :, j * per:(j + 1) * per] \
+                    .reshape(block, -1)
+                candj = (jnp.concatenate([nbrs, nnj, rnd], axis=1)
+                         if j == 0 else nnj)
+                outs.append(_select_topk_sorted(
+                    vectors, sqn, q, ids, candj,
+                    min(out_m, candj.shape[1])))
+            return _, _merge_topk(
+                jnp.concatenate([o[0] for o in outs], axis=1),
+                jnp.concatenate([o[1] for o in outs], axis=1), out_m)
         if wide:
             nn = nn_all.reshape(block, m * m)
             parts = [nbrs, nn]
@@ -552,6 +599,12 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     corr_cap = corridor_par + corridor_step * corridor_par * m
     blk_paths = min(blk, 1024 if corr_cap <= 1150
                     else 512 if corr_cap <= 2400 else 256)
+    # wide-round candidate slicing: the single-slice (block, m+m^2+r, d)
+    # program crashes the TPU worker at n=4M at ANY block size
+    # (probe_wide_fault) while descent-width rounds run fine — slice big
+    # builds back into the proven width class; 1 keeps the validated
+    # ≤2M program byte-identical
+    wparts = 1 if npad <= 2_000_000 else 8
     ns_pass = max(1, n_starts // corridor_passes)
     if precompile:
         import concurrent.futures as _cf
@@ -567,7 +620,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         desc_kw = dict(nsn=2, n_random=8, block=blk, n_real=n, out_m=m,
                        wide=False)
         wide_kw = dict(nsn=2, n_random=16, block=blk, n_real=n,
-                       out_m=cand_local, wide=True)
+                       out_m=cand_local, wide=True, wide_parts=wparts)
         paths_kw = dict(n=n, m=m, max_step=corridor_step,
                         parallel=corridor_par, block=blk_paths)
         km_s = jax.eval_shape(
@@ -687,7 +740,8 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     key, sub, sub2, sub3, sub4 = jax.random.split(key, 5)
     wide_ids, wide_d = _run(
         "wide", _nn_round_device, vectors_dev, sqn, graph_dev, sub,
-        nsn=2, n_random=16, block=blk, n_real=n, out_m=cand_local, wide=True)
+        nsn=2, n_random=16, block=blk, n_real=n, out_m=cand_local,
+        wide=True, wide_parts=wparts)
     if verbose:
         # D2H read, not block_until_ready (which can return early on
         # tunneled platforms): attributes a worker fault to THIS phase
