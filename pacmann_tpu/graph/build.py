@@ -117,26 +117,120 @@ def _merge_topk(ids_m, d_m, out_m):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "nsn", "n_random", "block", "n_real", "out_m", "wide", "wide_parts"))
+    "per", "n_random", "block", "n_real", "out_m"))
+def _wide_slice_round(vectors, sqn, graph, key, j, *, per: int,
+                      n_random: int, block: int, n_real: int, out_m: int):
+    """One SLICE of the big-build wide round as its OWN compiled program.
+
+    4M fault history (probe_wide_fault, e2e_4m runs 2026-08-19): the
+    single-program wide round (candidate width m+m^2+r) crashes the TPU
+    worker at n=4M at ANY block size, and so does the in-one-scan-body
+    sliced variant (8 selects + merge inside one scan body) — the fault
+    tracks the per-PROGRAM candidate work, not merely the per-select
+    width. Remedy: each slice of the m^2 neighbor-of-neighbor columns is
+    a SEPARATE program of descent-class shape (cand width m + m*per + r),
+    with the slice index j TRACED (lax.dynamic_slice on the column axis)
+    so ONE compile serves all slices. Every slice carries the same
+    nbrs+rnd columns (the merge dedups them), so the union of slice
+    candidate sets equals the single-program wide round's candidate set
+    exactly and the merged result matches it up to top-k tie order.
+    """
+    npad, m = graph.shape
+    nblocks = npad // block
+    _, k_blocks = jax.random.split(key)  # match _nn_round_device's streams
+
+    def body(_, b):
+        ids = b * block + jnp.arange(block, dtype=jnp.int32)
+        nbrs = jax.lax.dynamic_slice(graph, (b * block, 0), (block, m))
+        kb = jax.random.fold_in(k_blocks, b)
+        nn_all = graph[nbrs.reshape(-1)].reshape(block, m, m)
+        nnj = jax.lax.dynamic_slice(
+            nn_all, (0, 0, j * per), (block, m, per)).reshape(block, m * per)
+        rnd = jax.random.randint(
+            jax.random.fold_in(kb, 2), (block, n_random), 0, n_real,
+            jnp.int32)
+        cand = jnp.concatenate([nbrs, nnj, rnd], axis=1)
+        q = jax.lax.dynamic_slice(
+            vectors, (b * block, 0), (block, vectors.shape[1]))
+        return _, _select_topk_sorted(vectors, sqn, q, ids, cand,
+                                      min(out_m, cand.shape[1]))
+
+    _, (sids, sd) = jax.lax.scan(body, None,
+                                 jnp.arange(nblocks, dtype=jnp.int32))
+    k = sids.shape[-1]
+    return sids.reshape(npad, k), sd.reshape(npad, k)
+
+
+@functools.partial(jax.jit, static_argnames=("out_m", "block"))
+def _merge_topk_blocked(ids_a, d_a, ids_b, d_b, *, out_m: int, block: int):
+    """Pairwise exact distinct-top-out_m merge (_merge_topk) as its own
+    blocked program: the big-build wide round folds its per-slice results
+    through this so no single program exceeds the descent-proven shape
+    class. Progressive pairwise truncation to out_m is exact because any
+    global distinct-top-out_m member is inside the running top-out_m at
+    every prefix (same argument as _merge_topk's docstring)."""
+    npad = ids_a.shape[0]
+    nblocks = npad // block
+
+    def body(_, b):
+        ia = jax.lax.dynamic_slice(
+            ids_a, (b * block, 0), (block, ids_a.shape[1]))
+        da = jax.lax.dynamic_slice(
+            d_a, (b * block, 0), (block, d_a.shape[1]))
+        ib = jax.lax.dynamic_slice(
+            ids_b, (b * block, 0), (block, ids_b.shape[1]))
+        db = jax.lax.dynamic_slice(
+            d_b, (b * block, 0), (block, d_b.shape[1]))
+        return _, _merge_topk(jnp.concatenate([ia, ib], axis=1),
+                              jnp.concatenate([da, db], axis=1), out_m)
+
+    _, (mi, md) = jax.lax.scan(body, None,
+                               jnp.arange(nblocks, dtype=jnp.int32))
+    return mi.reshape(npad, out_m), md.reshape(npad, out_m)
+
+
+def _wide_round_sliced(vectors, sqn, graph, key, *, n_random: int,
+                       block: int, n_real: int, out_m: int, parts: int,
+                       call=None, verbose=False, el=None):
+    """Big-build wide round: `parts` separate slice programs folded
+    through the blocked pairwise merge. `call(name, fn, *args, **statics)`
+    lets build_graph route through its AOT-compiled phase cache."""
+    if call is None:
+        def call(name, fn, *args, **statics):
+            return fn(*args, **statics)
+    m = graph.shape[1]
+    per = -(-m // parts)
+    acc = None
+    for j in range(parts):
+        s = call("wide_slice", _wide_slice_round, vectors, sqn, graph, key,
+                 jnp.asarray(j, jnp.int32), per=per, n_random=n_random,
+                 block=block, n_real=n_real, out_m=out_m)
+        acc = s if acc is None else call(
+            "wide_merge", _merge_topk_blocked, acc[0], acc[1], s[0], s[1],
+            out_m=out_m, block=block)
+        if verbose:
+            # forced D2H read per slice: attributes a worker fault to the
+            # exact slice/merge (block_until_ready can return early on
+            # tunneled platforms)
+            _ = np.asarray(acc[1][-1, -1])
+            print(f"wide slice {j + 1}/{parts} done"
+                  + (f" {el()}" if el else ""), flush=True)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsn", "n_random", "block", "n_real", "out_m", "wide"))
 def _nn_round_device(vectors, sqn, graph, key, *, nsn: int, n_random: int,
-                     block: int, n_real: int, out_m: int, wide: bool,
-                     wide_parts: int = 1):
+                     block: int, n_real: int, out_m: int, wide: bool):
     """One full NN-descent round on device -> ((npad, out_m) ids, dists).
 
     wide=False: candidates = own neighbors + nsn sampled neighbors-of-
     neighbors each + nsn reverse edges + n_random randoms, keep top out_m=m.
     wide=True: the final widened pool — ALL m^2 neighbors-of-neighbors +
     randoms, keep top out_m=cand_size (prune pool; build_graph.go:384 role).
-
-    wide_parts: split the wide round's m^2 candidate columns into this
-    many slices, each scored+top-k'd separately and exactly merged
-    (_merge_topk). The single-slice wide program's (block, m+m^2+r, d)
-    gather/einsum crashes the TPU worker at n=4M at ANY block size
-    (probe_wide_fault: blocks 2048/1024/512 all fault) while the narrow
-    descent rounds run fine at the same n — the fault tracks candidate
-    WIDTH, so big builds slice the width back into the proven descent
-    shape class. Output is bit-identical to wide_parts=1 up to top-k
-    ties (same distance values, same dedup rule).
+    Builds past ~2M vertices must use _wide_round_sliced instead: both
+    one-program wide forms crash the TPU worker at n=4M (see
+    _wide_slice_round's docstring and probe_wide_fault.py).
     """
     npad, m = graph.shape
     nblocks = npad // block
@@ -148,25 +242,6 @@ def _nn_round_device(vectors, sqn, graph, key, *, nsn: int, n_random: int,
         nbrs = jax.lax.dynamic_slice(graph, (b * block, 0), (block, m))
         kb = jax.random.fold_in(k_blocks, b)
         nn_all = graph[nbrs.reshape(-1)].reshape(block, m, m)
-        if wide and wide_parts > 1:
-            rnd = jax.random.randint(
-                jax.random.fold_in(kb, 2), (block, n_random), 0, n_real,
-                jnp.int32)
-            q = jax.lax.dynamic_slice(
-                vectors, (b * block, 0), (block, vectors.shape[1]))
-            per = -(-m // wide_parts)
-            outs = []
-            for j in range(wide_parts):
-                nnj = nn_all[:, :, j * per:(j + 1) * per] \
-                    .reshape(block, -1)
-                candj = (jnp.concatenate([nbrs, nnj, rnd], axis=1)
-                         if j == 0 else nnj)
-                outs.append(_select_topk_sorted(
-                    vectors, sqn, q, ids, candj,
-                    min(out_m, candj.shape[1])))
-            return _, _merge_topk(
-                jnp.concatenate([o[0] for o in outs], axis=1),
-                jnp.concatenate([o[1] for o in outs], axis=1), out_m)
         if wide:
             nn = nn_all.reshape(block, m * m)
             parts = [nbrs, nn]
@@ -599,11 +674,12 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     corr_cap = corridor_par + corridor_step * corridor_par * m
     blk_paths = min(blk, 1024 if corr_cap <= 1150
                     else 512 if corr_cap <= 2400 else 256)
-    # wide-round candidate slicing: the single-slice (block, m+m^2+r, d)
-    # program crashes the TPU worker at n=4M at ANY block size
-    # (probe_wide_fault) while descent-width rounds run fine — slice big
-    # builds back into the proven width class; 1 keeps the validated
-    # ≤2M program byte-identical
+    # wide-round candidate slicing: BOTH one-program wide forms (full
+    # width, and 8 slices inside one scan body) crash the TPU worker at
+    # n=4M at ANY block size (probe_wide_fault, e2e_4m 2026-08-19) while
+    # descent-width rounds run fine — big builds run each slice as its
+    # own program (_wide_round_sliced); 1 keeps the validated ≤2M
+    # program byte-identical
     wparts = 1 if npad <= 2_000_000 else 8
     ns_pass = max(1, n_starts // corridor_passes)
     if precompile:
@@ -620,7 +696,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         desc_kw = dict(nsn=2, n_random=8, block=blk, n_real=n, out_m=m,
                        wide=False)
         wide_kw = dict(nsn=2, n_random=16, block=blk, n_real=n,
-                       out_m=cand_local, wide=True, wide_parts=wparts)
+                       out_m=cand_local, wide=True)
         paths_kw = dict(n=n, m=m, max_step=corridor_step,
                         parallel=corridor_par, block=blk_paths)
         km_s = jax.eval_shape(
@@ -646,8 +722,19 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
         _sub("kmeans", _kmeans_bootstrap, (vec_s, key_s), km_kw)
         _sub("descent", _nn_round_device, (vec_s, sqn_s, graph_s, key_s),
              desc_kw)
-        _sub("wide", _nn_round_device, (vec_s, sqn_s, graph_s, key_s),
-             wide_kw)
+        if wparts > 1:
+            _sub("wide_slice", _wide_slice_round,
+                 (vec_s, sqn_s, graph_s, key_s, sds((), i32)),
+                 dict(per=-(-m // wparts), n_random=16, block=blk,
+                      n_real=n, out_m=cand_local))
+            wi_s = sds((npad, cand_local), i32)
+            wd_s = sds((npad, cand_local), wide_s[1].dtype)
+            _sub("wide_merge", _merge_topk_blocked,
+                 (wi_s, wd_s, wi_s, wd_s),
+                 dict(out_m=cand_local, block=blk))
+        else:
+            _sub("wide", _nn_round_device, (vec_s, sqn_s, graph_s, key_s),
+                 wide_kw)
         _sub("ladder", _ladder_candidates,
              (km_s[1], km_s[2], km_s[3], km_s[4], km_s[5], key_s),
              dict(L=Lad))
@@ -738,10 +825,16 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
     # only blocked by accepted points near v), which is how DiskANN keeps
     # its highway edges.
     key, sub, sub2, sub3, sub4 = jax.random.split(key, 5)
-    wide_ids, wide_d = _run(
-        "wide", _nn_round_device, vectors_dev, sqn, graph_dev, sub,
-        nsn=2, n_random=16, block=blk, n_real=n, out_m=cand_local,
-        wide=True, wide_parts=wparts)
+    if wparts > 1:
+        wide_ids, wide_d = _wide_round_sliced(
+            vectors_dev, sqn, graph_dev, sub, n_random=16, block=blk,
+            n_real=n, out_m=cand_local, parts=wparts, call=_run,
+            verbose=verbose, el=_el)
+    else:
+        wide_ids, wide_d = _run(
+            "wide", _nn_round_device, vectors_dev, sqn, graph_dev, sub,
+            nsn=2, n_random=16, block=blk, n_real=n, out_m=cand_local,
+            wide=True)
     if verbose:
         # D2H read, not block_until_ready (which can return early on
         # tunneled platforms): attributes a worker fault to THIS phase

@@ -149,7 +149,11 @@ def main():
     if (args.keep, cs, cp, cn) != (16, 16, 2, 1):  # recipe-bearing tag
         tag += f"_k{args.keep}c{cs}x{cp}x{cn}"
     gpath = f"/tmp/graph_{tag}.npy"
-    report_path = f"/tmp/e2e_{tag}_report.json"
+    _rep_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "reports")
+    report_path = (os.path.join(_rep_dir, f"e2e_{tag}_report.json")
+                   if os.path.isdir(_rep_dir)
+                   else f"/tmp/e2e_{tag}_report.json")
     report = {"n": n, "d": d, "m": m, "rounds": args.rounds,
               "keep_nearest": args.keep, "corridor": args.corridor,
               "clustered": not args.uniform, "continuum": args.continuum,
@@ -193,6 +197,10 @@ def main():
         except Exception:
             pass
         np.save(gpath, graph.astype(np.int32))
+        # interim dump: a long big-n run leaves the build record even if a
+        # later phase dies
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=1)
     if args.build_only:
         with open(report_path, "w") as f:
             json.dump(report, f)

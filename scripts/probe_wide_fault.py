@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_one(n: int, block: int, m: int) -> dict:
+def run_one(n: int, block: int, m: int, route: str = "single") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -55,9 +55,17 @@ def run_one(n: int, block: int, m: int) -> dict:
     cand_local = int(1.5 * m) + m - n_far        # build_graph's pool width
     t0 = time.perf_counter()
     try:
-        wide_ids, wide_d = _nn_round_device(
-            vectors, sqn, graph, jax.random.PRNGKey(2), nsn=2, n_random=16,
-            block=blk, n_real=n, out_m=cand_local, wide=True)
+        if route == "sliced":
+            from pacmann_tpu.graph.build import _wide_round_sliced
+            wide_ids, wide_d = _wide_round_sliced(
+                vectors, sqn, graph, jax.random.PRNGKey(2), n_random=16,
+                block=blk, n_real=n, out_m=cand_local, parts=8,
+                verbose=True)
+        else:
+            wide_ids, wide_d = _nn_round_device(
+                vectors, sqn, graph, jax.random.PRNGKey(2), nsn=2,
+                n_random=16, block=blk, n_real=n, out_m=cand_local,
+                wide=True)
         _ = np.asarray(wide_d[-1, -1])
         rec["wide"] = "ok"
         print(f"wide: ok ({time.perf_counter()-t0:.1f}s incl compile)",
@@ -75,17 +83,18 @@ def main():
     ap.add_argument("--m", type=int, default=32)
     ap.add_argument("--blocks", default="2048,1024,512")
     ap.add_argument("--one", type=int, default=0)
+    ap.add_argument("--route", default="single", choices=["single", "sliced"])
     args = ap.parse_args()
 
     if args.one:
-        rec = run_one(args.n, args.one, args.m)
+        rec = run_one(args.n, args.one, args.m, args.route)
         print("RESULT " + json.dumps(rec), flush=True)
         sys.exit(0 if rec.get("wide") == "ok" else 2)
 
     results = []
     for blk in [int(b) for b in args.blocks.split(",")]:
         cmd = [sys.executable, os.path.abspath(__file__), "--one", str(blk),
-               "--n", str(args.n), "--m", str(args.m)]
+               "--n", str(args.n), "--m", str(args.m), "--route", args.route]
         print(f"=== block={blk}", flush=True)
         try:
             cp = subprocess.run(cmd, capture_output=True, text=True,

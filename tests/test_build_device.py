@@ -99,23 +99,23 @@ def test_build_graph_compact_u8_matches_f32():
 
 
 def test_wide_round_sliced_matches_single():
-    """wide_parts slicing (the 4M worker-crash workaround,
-    probe_wide_fault) selects the exact same candidate set as the
-    single-slice wide program: same distances, same ids, only top-k tie
-    order may differ."""
-    from pacmann_tpu.graph.build import _nn_round_device
+    """The sliced wide round (the 4M worker-crash workaround: one program
+    per slice + blocked pairwise merge, probe_wide_fault) selects the
+    exact same candidate set as the single-program wide round: same
+    distances, same ids, only top-k tie order may differ."""
+    from pacmann_tpu.graph.build import _nn_round_device, _wide_round_sliced
 
     rng = np.random.default_rng(5)
     n, d, m, blk, out_m = 2048, 24, 16, 256, 24
     v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     sqn = jnp.sum(v * v, axis=1)
     g = jnp.asarray(rng.integers(0, n, size=(n, m)).astype(np.int32))
-    kw = dict(nsn=2, n_random=16, block=blk, n_real=n, out_m=out_m,
-              wide=True)
-    i1, d1 = _nn_round_device(v, sqn, g, jax.random.PRNGKey(3), **kw,
-                              wide_parts=1)
-    i8, d8 = _nn_round_device(v, sqn, g, jax.random.PRNGKey(3), **kw,
-                              wide_parts=8)
+    i1, d1 = _nn_round_device(v, sqn, g, jax.random.PRNGKey(3), nsn=2,
+                              n_random=16, block=blk, n_real=n,
+                              out_m=out_m, wide=True)
+    i8, d8 = _wide_round_sliced(v, sqn, g, jax.random.PRNGKey(3),
+                                n_random=16, block=blk, n_real=n,
+                                out_m=out_m, parts=8)
     d1, d8, i1, i8 = map(np.asarray, (d1, d8, i1, i8))
     s1, s8 = np.sort(d1, axis=1), np.sort(d8, axis=1)
     fin = np.isfinite(s1)
