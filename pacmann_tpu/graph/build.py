@@ -161,14 +161,17 @@ def _wide_slice_round(vectors, sqn, graph, key, j, *, per: int,
     return sids.reshape(npad, k), sd.reshape(npad, k)
 
 
-@functools.partial(jax.jit, static_argnames=("out_m", "block"))
+@functools.partial(jax.jit, static_argnames=("out_m", "block"),
+                   donate_argnums=(0, 1))
 def _merge_topk_blocked(ids_a, d_a, ids_b, d_b, *, out_m: int, block: int):
     """Pairwise exact distinct-top-out_m merge (_merge_topk) as its own
     blocked program: the big-build wide round folds its per-slice results
     through this so no single program exceeds the descent-proven shape
     class. Progressive pairwise truncation to out_m is exact because any
     global distinct-top-out_m member is inside the running top-out_m at
-    every prefix (same argument as _merge_topk's docstring)."""
+    every prefix (same argument as _merge_topk's docstring). The running
+    accumulator (a) is DONATED — at 4M each (npad, out_m) pool pair is
+    ~2 GB and the undonated form OOM'd the full build mid-wide-round."""
     npad = ids_a.shape[0]
     nblocks = npad // block
 
@@ -208,6 +211,7 @@ def _wide_round_sliced(vectors, sqn, graph, key, *, n_random: int,
         acc = s if acc is None else call(
             "wide_merge", _merge_topk_blocked, acc[0], acc[1], s[0], s[1],
             out_m=out_m, block=block)
+        del s  # 2 GB/pool at 4M: drop before the next slice runs
         if verbose:
             # forced D2H read per slice: attributes a worker fault to the
             # exact slice/merge (block_until_ready can return early on
@@ -814,6 +818,7 @@ def build_graph(vectors: np.ndarray, m: int, *, rounds: int = 6,
                                           rdist[:n], 0.0)))
             print(f"nn-descent round {r} done (mean top-{m} dist {md:.4f})"
                   f" {_el()}", flush=True)
+    rdist = None  # 0.5 GB at 4M; only the verbose probe reads it
 
     # phase 2: candidate pool = widened final round + robust prune, on device.
     # The wide pool keeps the cand_size NEAREST candidates — on converged
